@@ -1,0 +1,145 @@
+"""End-to-end: fixture repo table → Spark pipeline → triples, checked for
+exact structural equality (P=R=1.0) against the independent oracle emitter,
+plus the reference test-suite's own query-level assertions re-expressed
+over the triple table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeontology_spark.compare import canonicalize, diff, precision_recall
+from codeontology_spark.fixtures import FIXTURES
+from codeontology_spark.jsparse import extract_file
+from codeontology_spark.pipeline import build_graph, graph_stats, verify_content_invariant
+from codeontology_spark.synth import fixture_table
+
+from oracle_emit import oracle_triples
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    src = fixture_table(spark).coalesce(1)
+    res = build_graph(src, apply_filters=True, persist=True)
+    res.triples = res.triples.cache()
+    yield src, res
+    res.entities.unpersist()
+
+
+def _expected_for(fx_names):
+    rows = []
+    for fx in fx_names:
+        for path, content in FIXTURES[fx].items():
+            ents = extract_file(path, content)
+            rows.extend(oracle_triples(path, ents))
+    return rows
+
+
+def test_triples_match_oracle_exactly(spark, built):
+    src, res = built
+    by_repo: dict[str, list] = {}
+    for r in res.triples.collect():
+        by_repo.setdefault(r.repo, []).append((r.subj, r.pred, r.obj, r.is_uri, r.dtype))
+    for fx in sorted(FIXTURES):
+        actual = by_repo.get(f"fixture/{fx}", [])
+        expected = _expected_for([fx])
+        pr = precision_recall(canonicalize(expected), canonicalize(actual))
+        assert pr["precision"] == 1.0 and pr["recall"] == 1.0, (
+            fx,
+            pr,
+            diff(canonicalize(expected), canonicalize(actual)),
+        )
+
+
+def test_five_functions_query(built):
+    """test_pipeline.py:91-100 re-expressed on the triple table."""
+    _, res = built
+    t = res.triples.filter(F.col("repo") == "fixture/simple5")
+    funcs = t.filter((F.col("pred") == "rdf:type") & (F.col("obj") == "code:Function"))
+    names = (
+        funcs.alias("f")
+        .join(
+            t.filter(F.col("pred") == "code:hasName").alias("n"),
+            F.col("f.subj") == F.col("n.subj"),
+        )
+        .select(F.col("n.obj").alias("name"))
+    )
+    got = {r.name for r in names.collect()}
+    assert {"add", "subtract", "multiply", "divide", "calculate"} <= got
+
+
+def test_class_methods_query(built):
+    """test_pipeline.py:609-626: UserService hasMethod."""
+    _, res = built
+    t = res.triples.filter(F.col("repo") == "fixture/layers3")
+    svc = t.filter((F.col("pred") == "code:hasName") & (F.col("obj") == "UserService"))
+    methods = (
+        svc.alias("c")
+        .join(t.filter(F.col("pred") == "code:hasMethod").alias("hm"),
+              F.col("c.subj") == F.col("hm.subj"))
+        .join(t.filter(F.col("pred") == "code:hasName").alias("mn"),
+              F.col("hm.obj") == F.col("mn.subj"))
+        .select(F.col("mn.obj").alias("name"))
+    )
+    got = {r.name for r in methods.collect()}
+    assert got == {"getUsers", "createUser", "modifyUser", "removeUser"}
+
+
+def test_async_functions_query(built):
+    """test_pipeline.py:380-390: isAsync=true finds the api functions."""
+    _, res = built
+    t = res.triples.filter(F.col("repo") == "fixture/nextjs_mini")
+    async_f = t.filter((F.col("pred") == "code:isAsync") & (F.col("obj") == "true"))
+    names = (
+        async_f.alias("a")
+        .join(t.filter(F.col("pred") == "code:hasName").alias("n"),
+              F.col("a.subj") == F.col("n.subj"))
+        .select(F.col("n.obj").alias("name"))
+    )
+    got = {r.name for r in names.collect()}
+    assert "fetchPosts" in got and "getStaticProps" in got
+
+
+def test_parameter_double_location(built):
+    """Quirk §1.3-3: every parameter carries exactly two location objects."""
+    _, res = built
+    t = res.triples.filter(F.col("repo") == "fixture/simple5")
+    params = t.filter((F.col("pred") == "rdf:type") & (F.col("obj") == "code:Parameter"))
+    locs = (
+        params.alias("p")
+        .join(t.filter(F.col("pred") == "code:locatedAt").alias("l"),
+              F.col("p.subj") == F.col("l.subj"))
+        .groupBy("p.subj")
+        .count()
+    )
+    counts = {r["count"] for r in locs.collect()}
+    assert counts == {2}
+
+
+def test_no_extends_edges(built):
+    """Quirk §1.3-6: code:extends never fires (bare-name targets)."""
+    _, res = built
+    assert res.triples.filter(F.col("pred") == "code:extends").count() == 0
+
+
+def test_content_invariant(built):
+    src, res = built
+    violations = verify_content_invariant(src, res.entities)
+    assert violations.count() == 0
+
+
+def test_graph_stats(built):
+    _, res = built
+    stats = {r.entity_type: r["count"] for r in graph_stats(res.triples).collect()}
+    assert stats["code:Module"] == sum(len(v) for v in FIXTURES.values())
+    assert stats["code:Function"] > 0
+    assert stats["code:CallExpression"] > 0
+
+
+def test_calls_edges(built):
+    """calculate → add/subtract/multiply/divide calls + calledBy inverses."""
+    _, res = built
+    t = res.triples.filter(F.col("repo") == "fixture/simple5")
+    calls = t.filter(F.col("pred") == "code:calls").count()
+    called_by = t.filter(F.col("pred") == "code:calledBy").count()
+    assert calls == 4 and called_by == 4
+    made_by = t.filter(F.col("pred") == "code:madeBy")
+    assert made_by.count() == 4  # all four call sites inside calculate
