@@ -1,38 +1,604 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — smoke: flagship query on /root/testdata/sf0.001.
+queries()         — one entry per implemented operator family from
+                    SURVEY.md §2 plus the training-data ops; each callable
+                    takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql()      — DuckDB twins. KG-pipeline queries run on the
+                    deterministic fixture repo table, so their oracles are
+                    literal VALUES relations; everything else mirrors the
+                    Spark plan in ANSI SQL over the parquet views.
+
+Column names and types are aligned on both sides (aggregates aliased,
+doubles rounded, counts cast) so the driver's order-insensitive value-hash
+comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from codeontology_spark.ops import dedup as D  # noqa: E402
+from codeontology_spark.ops import similarity as S  # noqa: E402
+from codeontology_spark.ops import text as TX  # noqa: E402
+
+_SHIPPED = False
+
+
+def _ship_pkg(spark: SparkSession) -> None:
+    """Make codeontology_spark importable in executor Python workers
+    regardless of how the driver session was created (the local stand-in
+    for spark-submit --py-files)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    zpath = "/tmp/codeontology_spark_pkg.zip"
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "codeontology_spark")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED = True
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _kg_triples(spark: SparkSession) -> DataFrame:
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.synth import fixture_table
+
+    _ship_pkg(spark)
+    src = fixture_table(spark).coalesce(1)
+    return build_graph(src, persist=False).triples
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke query on sf0.001: broadcast-join revenue rollup."""
+    return _q_join_revenue_by_region(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1_agg(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_join_revenue_by_region(spark, sf):
+    orders = _read(spark, sf, "orders")
+    cust = _read(spark, sf, "customer")
+    nation = _read(spark, sf, "nation")
+    region = _read(spark, sf, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_anti_customers_no_orders(spark, sf):
+    cust = _read(spark, sf, "customer")
+    orders = _read(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def _q_semi_customers_with_orders(spark, sf):
+    cust = _read(spark, sf, "customer")
+    orders = _read(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def _q_window_latest_event(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value_r"))
+    )
+
+
+def _q_window_running_total(spark, sf):
+    from pyspark.sql import Window as W
+
+    orders = _read(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def _q_group_having_top_customers(spark, sf):
+    orders = _read(spark, sf, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+def _q_union_partner_nations(spark, sf):
+    cust = _read(spark, sf, "customer")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    cn = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select("n_name")
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select("n_name")
+    return cn.union(sn).distinct()
+
+
+def _q_string_filter_events(spark, sf):
+    ev = _read(spark, sf, "events")
+    return (
+        ev.filter(F.lower(F.col("event_type")).contains("c"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _q_topk_orders(spark, sf):
+    orders = _read(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _q_distinct_suppliers_per_nation(spark, sf):
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+
+
+def _synthetic_edges(spark, sf):
+    nation = _read(spark, sf, "nation")
+    return nation.select(
+        F.lit("g").alias("repo"),
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).cast("long").alias("dst"),
+    )
+
+
+def _q_closure_nation_chain(spark, sf):
+    from codeontology_spark.queries import transitive_closure
+
+    edges = _synthetic_edges(spark, sf)
+    return transitive_closure(edges).select("src", "dst")
+
+
+def _q_cc_components(spark, sf):
+    from codeontology_spark.queries import connected_components
+
+    edges = _synthetic_edges(spark, sf)
+    return connected_components(edges).select(
+        F.col("uri").alias("node"), F.col("component")
+    )
+
+
+def _q_docs_exact_dedup(spark, sf):
+    return D.exact_dedup(_read(spark, sf, "documents"))
+
+
+def _q_docs_token_stats(spark, sf):
+    out = TX.token_stats(_read(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "chars_per_token",
+    )
+
+
+def _q_docs_quality(spark, sf):
+    return TX.quality_score(_read(spark, sf, "documents"))
+
+
+def _q_docs_lang_id(spark, sf):
+    out = TX.lang_id(_read(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("hits_en").cast("int").alias("hits_en"),
+        F.col("hits_de").cast("int").alias("hits_de"),
+        F.col("hits_fr").cast("int").alias("hits_fr"),
+        "lang_guess",
+    )
+
+
+def _q_docs_fingerprint(spark, sf):
+    return TX.fingerprint(_read(spark, sf, "documents"))
+
+
+def _q_docs_minhash_sig(spark, sf):
+    return D.minhash_signatures(_read(spark, sf, "documents"))
+
+
+def _q_docs_minhash_pairs(spark, sf):
+    return D.minhash_near_dup_pairs(_read(spark, sf, "documents"))
+
+
+def _q_docs_simhash(spark, sf):
+    return D.simhash16(_read(spark, sf, "documents"))
+
+
+def _q_docs_ngram_jaccard(spark, sf):
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def _q_emb_knn(spark, sf):
+    emb = _read(spark, sf, "embeddings")
+    qvec = (
+        emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    )
+    return S.cosine_topk(emb, list(qvec), k=10)
+
+
+def _q_emb_label_centroids(spark, sf):
+    emb = _read(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 4).alias("dim0_mean"),
+    )
+
+
+def _q_kg_entity_type_counts(spark, sf):
+    t = _kg_triples(spark)
+    return (
+        t.filter(F.col("pred") == "rdf:type")
+        .groupBy(F.col("obj").alias("entity_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_kg_simple5_functions(spark, sf):
+    from codeontology_spark.queries import names, typed
+
+    t = _kg_triples(spark).filter(F.col("repo") == "fixture/simple5")
+    return (
+        typed(t, "code:Function")
+        .join(names(t), ["repo", "uri"])
+        .select("name")
+    )
+
+
+def _q_kg_userservice_methods(spark, sf):
+    from codeontology_spark.queries import edge, names
+
+    t = _kg_triples(spark).filter(F.col("repo") == "fixture/layers3")
+    svc = names(t, "class_uri").filter(F.col("name") == "UserService").drop("name")
+    hm = edge(t, "code:hasMethod", "class_uri", "method_uri")
+    return (
+        hm.join(svc, ["repo", "class_uri"])
+        .join(names(t, "method_uri", "method_name"), ["repo", "method_uri"])
+        .select("method_name")
+    )
+
+
+def _q_kg_circular_modules(spark, sf):
+    from codeontology_spark.queries import circular_dependencies
+
+    t = _kg_triples(spark)
+    return circular_dependencies(t).select("module_uri")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator families over the star schema
+        "tpch_q1_agg": _q_tpch_q1_agg,
+        "join_revenue_by_region": _q_join_revenue_by_region,
+        "anti_customers_no_orders": _q_anti_customers_no_orders,
+        "semi_customers_with_orders": _q_semi_customers_with_orders,
+        "window_latest_event": _q_window_latest_event,
+        "window_running_total": _q_window_running_total,
+        "group_having_top_customers": _q_group_having_top_customers,
+        "union_partner_nations": _q_union_partner_nations,
+        "string_filter_events": _q_string_filter_events,
+        "topk_orders": _q_topk_orders,
+        "distinct_suppliers_per_nation": _q_distinct_suppliers_per_nation,
+        # iterative graph operators (closure loop / label propagation)
+        "closure_nation_chain": _q_closure_nation_chain,
+        "cc_components": _q_cc_components,
+        # training-data ops: dedup / text analysis / similarity
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_minhash_sig": _q_docs_minhash_sig,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash": _q_docs_simhash,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "emb_knn": _q_emb_knn,
+        "emb_label_centroids": _q_emb_label_centroids,
+        # KG pipeline (deterministic fixture corpus → VALUES oracles)
+        "kg_entity_type_counts": _q_kg_entity_type_counts,
+        "kg_simple5_functions": _q_kg_simple5_functions,
+        "kg_userservice_methods": _q_kg_userservice_methods,
+        "kg_circular_modules": _q_kg_circular_modules,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES = (
+    "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-4,1)+1),"
+    " i -> substr(text, i::INT, 5))) AS sh FROM documents"
+)
+
+_STOP_EN = "'the','a','of','and','to','in','is','it'"
+_STOP_DE = "'der','die','das','und','ist','nicht','ein','zu'"
+_STOP_FR = "'le','la','les','et','est','un','une','dans'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_mins = " || ".join(
+        f"min(substr(md5('{i}:' || sh), 1, 8))" for i in range(8)
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return {
+        "tpch_q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_region": """
+            SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "anti_customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_customers_with_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "window_latest_event": """
+            SELECT user_id, event_id, event_type, ROUND(value, 4) AS value_r
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders
+        """,
+        "group_having_top_customers": """
+            SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+        """,
+        "union_partner_nations": """
+            SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION
+            SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "string_filter_events": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events WHERE contains(lower(event_type), 'c')
+            GROUP BY event_type
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "distinct_suppliers_per_nation": """
+            SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "closure_nation_chain": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS src,
+                       CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+                FROM nation
+            ), r(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+            )
+            SELECT src, dst FROM r
+        """,
+        "cc_components": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS src,
+                       CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+                FROM nation
+            ), sym AS (
+                SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), r(a, b) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.a, sym.dst FROM r JOIN sym ON r.b = sym.src
+            )
+            SELECT a AS node, LEAST(a, MIN(b)) AS component FROM r GROUP BY a
+        """,
+        "docs_exact_dedup": """
+            SELECT sha256(text) AS text_sha, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   ROUND(length(text) / greatest(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1), 4) AS chars_per_token
+            FROM documents
+        """,
+        "docs_quality": f"""
+            SELECT doc_id,
+                   ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio,
+                   ROUND(length(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '' AND x IN ({_STOP_EN})))
+                         / greatest(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1), 4) AS stopword_ratio,
+                   length(text) >= 64 AS len_ok
+            FROM documents
+        """,
+        "docs_lang_id": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(list_filter(tk, x -> x IN ({_STOP_EN}))) AS INTEGER) AS hits_en,
+                   CAST(length(list_filter(tk, x -> x IN ({_STOP_DE}))) AS INTEGER) AS hits_de,
+                   CAST(length(list_filter(tk, x -> x IN ({_STOP_FR}))) AS INTEGER) AS hits_fr,
+                   CASE WHEN length(list_filter(tk, x -> x IN ({_STOP_EN}))) >= length(list_filter(tk, x -> x IN ({_STOP_DE})))
+                             AND length(list_filter(tk, x -> x IN ({_STOP_EN}))) >= length(list_filter(tk, x -> x IN ({_STOP_FR})))
+                        THEN 'en'
+                        WHEN length(list_filter(tk, x -> x IN ({_STOP_DE}))) >= length(list_filter(tk, x -> x IN ({_STOP_FR})))
+                        THEN 'de' ELSE 'fr' END AS lang_guess
+            FROM toks
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, substr(sha256(lower(text)), 1, 16) AS fp FROM documents
+        """,
+        "docs_minhash_sig": f"""
+            SELECT doc_id, {mh_mins} AS sig
+            FROM ({_SHINGLES}) GROUP BY doc_id
+        """,
+        "docs_minhash_pairs": f"""
+            WITH sig AS (
+                SELECT doc_id, {mh_mins} AS sig
+                FROM ({_SHINGLES}) GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sig
+            FROM sig x JOIN sig y ON x.sig = y.sig AND x.doc_id < y.doc_id
+        """,
+        "docs_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM toks
+            )
+            SELECT doc_id, CAST({simhash_bits} AS INTEGER) AS simhash
+            FROM h GROUP BY doc_id
+        """,
+        "docs_ngram_jaccard": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(length(text)-4,1)+1),
+                              i -> substr(text, i::INT, 5))) AS sh
+                FROM d
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+            ), co AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b, ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+            FROM co
+            JOIN sz na ON na.doc_id = a
+            JOIN sz nb ON nb.doc_id = b
+            WHERE ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2
+        """,
+        "emb_knn": """
+            WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            SELECT vec_id, label,
+                   ROUND(list_cosine_similarity(embeddings.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings, q
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "emb_label_centroids": """
+            SELECT label, COUNT(*) AS n,
+                   ROUND(AVG(embedding[1]::DOUBLE), 4) AS dim0_mean
+            FROM embeddings GROUP BY label
+        """,
+        "kg_entity_type_counts": """
+            SELECT * FROM (VALUES
+                ('code:SourceLocation', CAST(184 AS BIGINT)),
+                ('code:CallExpression', CAST(42 AS BIGINT)),
+                ('code:Function', CAST(41 AS BIGINT)),
+                ('code:Parameter', CAST(23 AS BIGINT)),
+                ('code:Export', CAST(22 AS BIGINT)),
+                ('code:Module', CAST(15 AS BIGINT)),
+                ('code:Import', CAST(13 AS BIGINT)),
+                ('code:Class', CAST(5 AS BIGINT))
+            ) AS t(entity_type, n)
+        """,
+        "kg_simple5_functions": """
+            SELECT * FROM (VALUES ('add'), ('subtract'), ('multiply'),
+                                  ('divide'), ('calculate')) AS t(name)
+        """,
+        "kg_userservice_methods": """
+            SELECT * FROM (VALUES ('getUsers'), ('createUser'),
+                                  ('modifyUser'), ('removeUser')) AS t(method_name)
+        """,
+        "kg_circular_modules": """
+            SELECT * FROM (VALUES
+                ('http://codebase.local/moduleA.js#module'),
+                ('http://codebase.local/moduleB.js#module')
+            ) AS t(module_uri)
+        """,
+    }

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries + KG-pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": ...}
+
+The KG stage sizes its synthetic repo corpus with sf (sf0.1 → 100 repos ×
+63 files ≈ 6.3k files ≈ 800k triples) so triples/sec is comparable across
+rounds; the primary BASELINE.json rate metric is reported alongside the
+per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> int:
+    """Force full execution; noop sink keeps the driver out of the loop."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as E
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.session import get_spark
+    from codeontology_spark.synth import synth_table
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    E._ship_pkg(spark)
+
+    timings: dict[str, float] = {}
+
+    # --- KG pipeline throughput (primary metric: triples emitted/sec) ----
+    n_repos = max(int(1000 * sf), 2)
+    src = synth_table(spark, n_repos=n_repos, partitions=max(cpus, 4))
+    t0 = time.perf_counter()
+    res = build_graph(src, persist=True)
+    n_triples = res.triples.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_build_triples"] = round(kg_sec, 3)
+    res.entities.unpersist()
+    triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+
+    # --- headline operator queries over the sf tables ---------------------
+    qs = E.queries()
+    headline = [
+        "tpch_q1_agg",
+        "join_revenue_by_region",
+        "window_latest_event",
+        "group_having_top_customers",
+        "docs_minhash_sig",
+        "docs_simhash",
+        "emb_knn",
+        "closure_nation_chain",
+        "cc_components",
+        "kg_entity_type_counts",
+    ]
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_triples": n_triples,
+                "triples_per_sec": round(triples_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

