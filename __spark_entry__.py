@@ -59,13 +59,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _kg_triples(spark: SparkSession) -> DataFrame:
-    from codeontology_spark.pipeline import build_graph
-    from codeontology_spark.synth import fixture_table
+_KG_CACHE: dict[int, DataFrame] = {}
 
-    _ship_pkg(spark)
-    src = fixture_table(spark).coalesce(1)
-    return build_graph(src, persist=False).triples
+
+def _kg_triples(spark: SparkSession) -> DataFrame:
+    """Fixture KG, built once per session and cached: four kg_* queries
+    share it, and an unpersisted build would re-run the extraction UDF for
+    every one of the ~10 emission branches."""
+    key = id(spark)
+    if key not in _KG_CACHE:
+        from codeontology_spark.pipeline import build_graph
+        from codeontology_spark.synth import fixture_table
+
+        _ship_pkg(spark)
+        src = fixture_table(spark).coalesce(1)
+        triples = build_graph(src, persist=True).triples.persist()
+        triples.count()
+        _KG_CACHE[key] = triples
+    return _KG_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +399,8 @@ _STOP_FR = "'le','la','les','et','est','un','une','dans'"
 
 def oracle_sql() -> dict[str, str]:
     mh_mins = " || ".join(
-        f"min(substr(md5('{i}:' || sh), 1, 8))" for i in range(8)
+        f"min(substr(md5({'sh' if i < 4 else chr(39) + 'x' + chr(39) + ' || sh'}), {(i % 4) * 8 + 1}, 8))"
+        for i in range(8)
     )
     simhash_bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"

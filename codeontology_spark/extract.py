@@ -67,64 +67,63 @@ def _dedup_keep_first(xs: list) -> list:
     return out
 
 
-def _entity_rows(repo: str, path: str, commit: str, content: str) -> list[dict]:
+# attribute extraction order must match ENTITY_SCHEMA (after repo/path/commit)
+_PLAIN_FIELDS = [
+    "kind", "name", "uri", "line", "col", "end_line", "end_col", "body_hash",
+    "scope", "is_async", "is_generator", "is_arrow", "is_exported",
+    "is_default_export", "is_static", "is_private", "is_constructor",
+    "is_const", "is_let", "is_var", "init_value", "module_type",
+    "module_path", "import_type",
+]
+
+
+def _entity_columns(cols: dict, repo: str, path: str, commit: str, content: str) -> None:
+    """Append one file's entity rows into columnar buffers (dict of lists).
+
+    Columnar construction matters: building a 45-column pandas frame from
+    row dicts plus Arrow coercion of per-row empty lists costs ~1 ms/row —
+    ~15× the parse itself. Lists are None when empty so Arrow writes nulls
+    instead of materializing millions of empty child arrays.
+    """
     ents = extract_file(path, content)
-    rows = []
     sha = hashlib.sha256(content.encode()).hexdigest()
     for e in ents:
-        rows.append(
-            {
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "kind": e.kind,
-                "name": e.name,
-                "uri": e.uri,
-                "line": e.line,
-                "col": e.col,
-                "end_line": e.end_line,
-                "end_col": e.end_col,
-                "body_hash": e.body_hash,
-                "scope": e.scope,
-                "is_async": e.is_async,
-                "is_generator": e.is_generator,
-                "is_arrow": e.is_arrow,
-                "is_exported": e.is_exported,
-                "is_default_export": e.is_default_export,
-                "is_static": e.is_static,
-                "is_private": e.is_private,
-                "is_constructor": e.is_constructor,
-                "is_const": e.is_const,
-                "is_let": e.is_let,
-                "is_var": e.is_var,
-                "init_value": e.init_value,
-                "module_type": e.module_type,
-                "module_path": e.module_path,
-                "import_type": e.import_type,
-                "imported_symbols": e.imported_symbols or [],
-                "export_type": e.export_type,
-                "callee_name": e.callee_name,
-                "caller_uri": e.caller_uri,
-                "callee_uri": e.callee_uri,
-                "is_method_call": e.is_method_call,
-                "arguments": e.arguments or [],
-                # duplicate-free lists → duplicate-free triples, so the
-                # emission stage needs NO global dropDuplicates shuffle
-                # (rdflib Graph set semantics, ontology_builder.py:79-82)
-                "calls": _dedup_keep_first(e.calls),
-                "parent_class_uri": e.parent_class_uri,
-                "is_rest": e.is_rest,
-                "extends_name": e.extends_name,
-                "functions": _dedup_keep_first(e.functions),
-                "classes": _dedup_keep_first(e.classes),
-                "methods": _dedup_keep_first(e.methods),
-                "exports": _dedup_keep_first(e.exports),
-                "imports": _dedup_keep_first(e.imports),
-                "import_candidates": e.import_candidates or [],
-                "content_sha256": sha if e.kind == "module" else None,
-            }
-        )
-    return rows
+        cols["repo"].append(repo)
+        cols["path"].append(path)
+        cols["commit"].append(commit)
+        for f in _PLAIN_FIELDS:
+            cols[f].append(getattr(e, f))
+        cols["imported_symbols"].append(e.imported_symbols or None)
+        cols["export_type"].append(e.export_type)
+        cols["callee_name"].append(e.callee_name)
+        cols["caller_uri"].append(e.caller_uri)
+        cols["callee_uri"].append(e.callee_uri)
+        cols["is_method_call"].append(e.is_method_call)
+        cols["arguments"].append(e.arguments or None)
+        # duplicate-free lists → duplicate-free triples, so the emission
+        # stage needs NO global dropDuplicates shuffle (rdflib Graph set
+        # semantics, ontology_builder.py:79-82)
+        cols["calls"].append(_dedup_keep_first(e.calls) or None)
+        cols["parent_class_uri"].append(e.parent_class_uri)
+        cols["is_rest"].append(e.is_rest)
+        cols["extends_name"].append(e.extends_name)
+        cols["functions"].append(_dedup_keep_first(e.functions) or None)
+        cols["classes"].append(_dedup_keep_first(e.classes) or None)
+        cols["methods"].append(_dedup_keep_first(e.methods) or None)
+        cols["exports"].append(_dedup_keep_first(e.exports) or None)
+        cols["imports"].append(_dedup_keep_first(e.imports) or None)
+        cols["import_candidates"].append(e.import_candidates or None)
+        cols["content_sha256"].append(sha if e.kind == "module" else None)
+
+
+def _entity_rows(repo: str, path: str, commit: str, content: str) -> list[dict]:
+    """Row-dict variant kept for tests/incremental paths."""
+    from .schemas import ENTITY_SCHEMA
+
+    cols: dict[str, list] = {f: [] for f in ENTITY_SCHEMA.fieldNames()}
+    _entity_columns(cols, repo, path, commit, content)
+    names = list(cols)
+    return [dict(zip(names, vals)) for vals in zip(*[cols[n] for n in names])]
 
 
 def extract_entities(
@@ -144,19 +143,21 @@ def extract_entities(
         # salt on (repo, path): files of one repo spread across all tasks
         df = df.repartition(repartition, F.col("repo"), F.col("path"))
 
+    field_names = ENTITY_SCHEMA.fieldNames()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            cols: dict[str, list] = {f: [] for f in field_names}
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
                 try:
-                    out.extend(_entity_rows(repo, path, commit, content or ""))
+                    _entity_columns(cols, repo, path, commit, content or "")
                 except Exception:
                     # mirror the reference's per-file failure tolerance
                     # (processor.py:342-354): a broken file yields nothing
                     continue
-            if out:
-                yield pd.DataFrame(out)
+            if cols["uri"]:
+                yield pd.DataFrame(cols, columns=field_names)
 
     return df.mapInPandas(gen, schema=ENTITY_SCHEMA)

@@ -22,6 +22,11 @@ from .extract import extract_entities, source_filter
 class BuildResult:
     entities: DataFrame
     triples: DataFrame
+    raw_entities: DataFrame | None = None  # the persisted pre-dedup stage
+
+    def unpersist(self) -> None:
+        if self.raw_entities is not None:
+            self.raw_entities.unpersist()
 
 
 def build_graph(
@@ -33,11 +38,16 @@ def build_graph(
     """source rows → (entities, triples). Both returned lazily; entities is
     persisted because emission fans out into several projections over it."""
     ents = extract_entities(source_df, apply_filters=apply_filters, repartition=repartition)
-    ents = dedup_colliding_uris(ents)
     if persist:
+        # persist BEFORE the dedup split: dedup_colliding_uris unions two
+        # branches over this subtree and Catalyst does no subplan CSE, so an
+        # unpersisted extraction would run the Python stage twice (and the
+        # ~10 emission projections many more times)
         ents = ents.persist(StorageLevel.MEMORY_AND_DISK)
+    raw = ents if persist else None
+    ents = dedup_colliding_uris(ents)
     triples = triples_from_entities(ents)
-    return BuildResult(entities=ents, triples=triples)
+    return BuildResult(entities=ents, triples=triples, raw_entities=raw)
 
 
 def verify_content_invariant(source_df: DataFrame, entities: DataFrame) -> DataFrame:

@@ -163,22 +163,23 @@ def functions_with_many_parameters(t: DataFrame, min_params: int = 4) -> DataFra
 
 # -- closure engine: B6/B7/B15/B17/B18 (SURVEY.md §4.1) ----------------------
 
-def transitive_closure(edges: DataFrame, max_iters: int = 25) -> DataFrame:
-    """All (repo, src, dst) pairs reachable via 1..max_iters hops.
+def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """All (repo, src, dst) pairs reachable via ≥1 hops.
 
-    Frontier BFS: new pairs each round are anti-joined against the visited
-    set so cyclic graphs terminate; localCheckpoint() per iteration cuts the
-    exploding lineage. edges columns: (repo, src, dst).
+    Path-doubling: R_{k+1} = R_k ∪ (R_k ∘ R_k), so a diameter-d graph
+    converges in ⌈log2 d⌉ rounds instead of d frontier steps — the
+    per-round driver/job overhead is what dominates iterative DataFrame
+    loops, and at cluster scale it halves the number of shuffles too.
+    New pairs are anti-joined against the known set so cycles terminate;
+    localCheckpoint() cuts the exploding lineage. edges: (repo, src, dst).
     """
-    base = edges.select("repo", "src", "dst").localCheckpoint(eager=True)
-    step_edges = base.select(
-        "repo", F.col("src").alias("dst"), F.col("dst").alias("nxt")
-    )
-    visited = base
-    frontier = base
+    visited = edges.select("repo", "src", "dst").dropDuplicates(
+        ["repo", "src", "dst"]
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
+        hop = visited.select("repo", F.col("src").alias("dst"), F.col("dst").alias("nxt"))
         step = (
-            frontier.join(step_edges, ["repo", "dst"])
+            visited.join(hop, ["repo", "dst"])
             .select("repo", "src", F.col("nxt").alias("dst"))
             .dropDuplicates(["repo", "src", "dst"])
         )
@@ -188,7 +189,6 @@ def transitive_closure(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         if new.isEmpty():
             break
         visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
     return visited
 
 
@@ -248,9 +248,13 @@ def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
 
 # -- B19: connected components (graph_store.py:364-372; SURVEY §4.2) --------
 
-def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
-    """Label propagation to min-member-id fixpoint over the symmetrized edge
-    set (GraphFrames-style iterative joins). Returns (repo, uri, component).
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation with pointer jumping over the symmetrized edge
+    set (GraphFrames/large-star-style iterative DataFrame joins). Each round
+    does (1) a neighbor-min step and (2) a label-of-label jump, so chains of
+    length n converge in O(log n) rounds — the per-round job overhead and
+    shuffle count, not per-row work, dominate iterative loops. Returns
+    (repo, uri, component) with component = min member id.
     """
     sym = (
         edges.select("repo", F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -265,23 +269,34 @@ def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
+        # (1) neighbor min
         nbr = sym.select("repo", F.col("b").alias("uri"), F.col("a").alias("nbr_uri"))
-        cand = (
-            nbr.join(labels, ["repo", "uri"])
-            .select("repo", F.col("nbr_uri").alias("uri"), "component")
+        cand = nbr.join(labels, ["repo", "uri"]).select(
+            "repo", F.col("nbr_uri").alias("uri"), "component"
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(cand)
             .groupBy("repo", "uri")
             .agg(F.min("component").alias("component"))
+        )
+        # (2) pointer jump: component ← component's component
+        parent = stepped.select(
+            "repo", F.col("uri").alias("component"), F.col("component").alias("grand")
+        )
+        jumped = (
+            stepped.join(parent, ["repo", "component"], "left")
+            .select(
+                "repo", "uri",
+                F.least(F.col("component"), F.coalesce("grand", "component")).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.withColumnRenamed("component", "new_component")
+            jumped.withColumnRenamed("component", "new_component")
             .join(labels, ["repo", "uri"])
             .filter(F.col("new_component") != F.col("component"))
         )
-        labels = new_labels
+        labels = jumped
         if changed.isEmpty():
             break
     return labels
