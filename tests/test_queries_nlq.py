@@ -1,0 +1,116 @@
+"""Query-layer tests: template catalog, closure semantics, NL routing,
+pattern matching, graph algorithms."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeontology_spark import nlq
+from codeontology_spark import queries as Q
+from codeontology_spark.pipeline import build_graph
+from codeontology_spark.synth import fixture_table
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    res = build_graph(fixture_table(spark).coalesce(1), persist=True)
+    t = res.triples.cache()
+    t.count()
+    yield t
+    res.unpersist()
+    t.unpersist()
+
+
+def test_functions_called_by(triples):
+    got = {r.callee_name for r in Q.functions_called_by(triples, "calculate").collect()}
+    assert got == {"add", "subtract", "multiply", "divide"}
+
+
+def test_functions_in_module(triples):
+    got = {r.func_name for r in Q.functions_in_module(triples, "simple").collect()}
+    assert got == {"add", "subtract", "multiply", "divide", "calculate"}
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a")],
+        "repo string, src string, dst string",
+    )
+    pairs = {(r.src, r.dst) for r in Q.transitive_closure(edges).collect()}
+    assert len(pairs) == 9  # complete closure of a 3-cycle
+
+
+def test_call_chain_between(triples):
+    """validation2: callerFunction → targetFunction is direct (no
+    intermediates); via layers the chain query shape still executes."""
+    out = Q.call_chain_between(triples, "callerFunction", "targetFunction")
+    assert out.count() == 0  # SPARQL B6 finds strictly-intermediate nodes
+
+
+def test_unused_functions_excludes_called(triples):
+    names = {r.name for r in Q.unused_functions(triples).collect()}
+    assert "add" not in names  # called by calculate
+    assert "calculate" in names  # never called, never exported (quirk)
+
+
+def test_high_complexity(triples):
+    out = Q.high_complexity_functions(triples, min_calls=3).collect()
+    assert [r.name for r in out] == ["calculate"]
+    assert out[0].call_count == 4
+
+
+def test_pattern_match(triples):
+    out = Q.pattern_match(triples, node_type="code:Function", name_regex="^valid")
+    assert {r.name for r in out.collect()} == {"validateUser", "validateEmail"}
+
+
+def test_get_context(triples):
+    uri = "http://codebase.local/simple.js#function_add_4"
+    ctx = Q.get_context(triples, uri, depth=1)
+    preds = {r.pred for r in ctx.collect()}
+    assert "code:hasName" in preds and "rdf:type" in preds
+    # depth-1 neighborhood includes calculate (calls edge) and the module
+    subjects = {r.subj for r in ctx.collect()}
+    assert any(s.endswith("#function_calculate_21") for s in subjects)
+
+
+def test_degree_and_pagerank(spark):
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "a", "c"), ("g", "b", "c")],
+        "repo string, src string, dst string",
+    )
+    deg = {r.uri: r.degree for r in Q.degree_centrality(edges).collect()}
+    assert deg == {"a": 2, "b": 2, "c": 2}
+    pr = {r.uri: r.rank for r in Q.pagerank(edges, iters=5).collect()}
+    assert pr["c"] > pr["b"] > pr["a"]  # c receives the most rank mass
+
+
+def test_connected_components_chain(spark):
+    rows = [("g", f"n{i:02d}", f"n{i+1:02d}") for i in range(20)] + [("g", "x1", "x2")]
+    edges = spark.createDataFrame(rows, "repo string, src string, dst string")
+    cc = Q.connected_components(edges)
+    comps = {}
+    for r in cc.collect():
+        comps.setdefault(r.component, set()).add(r.uri)
+    sizes = sorted(len(v) for v in comps.values())
+    assert sizes == [2, 21]
+
+
+def test_nl_routing(triples):
+    out = nlq.natural_language_query(triples, "find functions that call add")
+    assert {r.caller_name for r in out.collect()} == {"calculate"}
+    out = nlq.natural_language_query(triples, "find unused functions")
+    assert out.count() > 0
+    out = nlq.natural_language_query(triples, "find circular dependencies")
+    assert out.count() == 2
+    assert nlq.natural_language_query(triples, "gibberish with no intent") is None
+
+
+def test_suggestions_and_explain(triples):
+    assert nlq.get_query_suggestions("func") == [
+        "functions_called_by_function",
+        "functions_calling_function",
+        "functions_in_module",
+        "functions_with_many_parameters",
+    ]
+    plan = nlq.explain_query(Q.unused_functions(triples))
+    assert "Physical Plan" in plan
