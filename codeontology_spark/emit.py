@@ -91,7 +91,15 @@ def dedup_colliding_uris(entities: DataFrame) -> DataFrame:
     processor.py:273 sorted()). A window over just the parameter rows —
     a tiny fraction of the table — reproduces that.
     """
-    params = entities.filter(F.col("kind") == "parameter")
+    # parameter rows only carry these fields (everything else is null for
+    # kind=parameter), so the window shuffle is kept NARROW — shuffling the
+    # full 45-column rows costs ~10× the bytes for nothing, and this box
+    # throttles buffered disk writes hard
+    param_cols = [
+        "repo", "path", "commit", "kind", "name", "uri",
+        "line", "col", "end_line", "end_col", "is_rest",
+    ]
+    params = entities.filter(F.col("kind") == "parameter").select(*param_cols)
     others = entities.filter(F.col("kind") != "parameter")
     w = Window.partitionBy("repo", "uri").orderBy("path", "line", "col")
     first = (
@@ -99,7 +107,7 @@ def dedup_colliding_uris(entities: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return others.unionByName(first)
+    return others.unionByName(first, allowMissingColumns=True)
 
 
 def triples_from_entities(entities: DataFrame) -> DataFrame:

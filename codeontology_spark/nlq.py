@@ -62,7 +62,13 @@ def natural_language_query(triples: DataFrame, text: str) -> DataFrame | None:
 
 def explain_query(df: DataFrame) -> str:
     """B22: the reference's heuristic EXPLAIN becomes Catalyst's real one."""
-    return df._jdf.queryExecution().explainString("formatted")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def benchmark_queries(

@@ -47,7 +47,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # generous heap: this box throttles buffered disk writes to ~6 MB/s,
+        # so cache/shuffle spill must be avoided at (local) all costs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
