@@ -22,6 +22,7 @@ def main() -> None:
     cores = int(sys.argv[1])
     n_repos = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    src_path = sys.argv[4] if len(sys.argv) > 4 else None  # pre-written corpus
 
     import shutil
     import tempfile
@@ -37,19 +38,24 @@ def main() -> None:
     # TWO Python workers per task (pickle → JVM → Arrow) — that pipeline
     # thrashes at high thread counts and is not the production shape anyway
     tmp = tempfile.mkdtemp(prefix=f"scaling_src_{cores}_")
-    synth_table(spark, n_repos=n_repos, partitions=cores * 2).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/src")
-    synth_table(spark, n_repos=200, partitions=cores * 2).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/warm")
-    src_parquet = spark.read.parquet(f"{tmp}/src")
+    if src_path:
+        src_parquet = spark.read.parquet(f"{src_path}/src")
+        warm_path = f"{src_path}/warm"
+    else:
+        synth_table(spark, n_repos=n_repos, partitions=cores * 2).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/src")
+        synth_table(spark, n_repos=200, partitions=cores * 2).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/warm")
+        src_parquet = spark.read.parquet(f"{tmp}/src")
+        warm_path = f"{tmp}/warm"
 
     # warm-up: JIT + the full python-worker pool (not timed; identical at
     # both sizes; spread over all cores so every worker imports once)
     for _ in range(2):
         w = build_graph(
-            spark.read.parquet(f"{tmp}/warm").repartition(cores * 2), persist=True
+            spark.read.parquet(warm_path).repartition(cores * 2), persist=True
         )
         w.triples.count()
         w.unpersist()
