@@ -118,6 +118,8 @@ class _Lexer:
             c = src[i]
             if c in " \t\r\n":
                 i += 1
+                while i < n and src[i] in " \t\r\n":
+                    i += 1
                 continue
             if c == "/" and i + 1 < n and src[i + 1] == "/":
                 j = src.find("\n", i)
@@ -159,22 +161,27 @@ class _Lexer:
                 self.toks.append(Tok("num", src[i:j], i, j))
                 i = j
                 continue
-            # multi-char punctuators we care about
-            for p in ("=>", "?.", "===", "!==", "==", "!=", "&&", "||"):
-                if src.startswith(p, i):
-                    self.toks.append(Tok("punct", p, i, i + len(p)))
-                    i += len(p)
-                    break
-            else:
-                if stop_at_rbrace:
-                    if c == "{":
-                        depth += 1
-                    elif c == "}":
-                        if depth == 0:
-                            return i  # caller consumes the '}'
-                        depth -= 1
-                self.toks.append(Tok("punct", c, i, i + 1))
-                i += 1
+            # multi-char punctuators we care about (first-char gated: the
+            # startswith probes were ~25% of tokenizer time)
+            if c in "=?!&|":
+                for p in ("=>", "?.", "===", "!==", "==", "!=", "&&", "||"):
+                    if src.startswith(p, i):
+                        self.toks.append(Tok("punct", p, i, i + len(p)))
+                        i += len(p)
+                        break
+                else:
+                    self.toks.append(Tok("punct", c, i, i + 1))
+                    i += 1
+                continue
+            if stop_at_rbrace:
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    if depth == 0:
+                        return i  # caller consumes the '}'
+                    depth -= 1
+            self.toks.append(Tok("punct", c, i, i + 1))
+            i += 1
         return i
 
     def _string_end(self, i: int) -> int:
