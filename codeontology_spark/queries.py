@@ -375,3 +375,79 @@ def pattern_match(
         e = edge(t, edge_pred, "uri", "target")
         base = base.join(e, ["repo", "uri"])
     return base
+
+
+# -- B18: bounded all-simple-paths (graph_store.py:350-362) ------------------
+
+def simple_paths(edges: DataFrame, src_uri: str, dst_uri: str, cutoff: int = 4) -> DataFrame:
+    """All simple paths src→dst up to `cutoff` hops: iterative frontier join
+    carrying an array-typed path column with an array_contains cycle guard
+    (the DataFrame analogue of nx.all_simple_paths)."""
+    base = edges.select("repo", "src", "dst")
+    frontier = base.filter(F.col("src") == src_uri).select(
+        "repo", F.col("dst").alias("head"), F.array(F.col("src"), F.col("dst")).alias("path")
+    )
+    found = frontier.filter(F.col("head") == dst_uri).select("repo", "path")
+    for _ in range(cutoff - 1):
+        frontier = (
+            frontier.filter(F.col("head") != dst_uri)
+            .join(base.select("repo", F.col("src").alias("head"), F.col("dst").alias("nxt")),
+                  ["repo", "head"])
+            .filter(~F.array_contains("path", F.col("nxt")))
+            .select("repo", F.col("nxt").alias("head"),
+                    F.array_append("path", F.col("nxt")).alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        found = found.unionByName(
+            frontier.filter(F.col("head") == dst_uri).select("repo", "path")
+        )
+    return found.withColumn("length", F.size("path") - 1)
+
+
+# -- B21: density / triangle / clustering stats (graph_store.py:432-455) -----
+
+def graph_density_stats(edges: DataFrame) -> DataFrame:
+    """Per-repo node/edge counts, density (directed), and triangle count via
+    a 2-hop join closed by a third edge (each triangle counted once by
+    ordering its vertices)."""
+    sym = (
+        edges.select("repo", F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select("repo", F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ordered = sym.filter(F.col("a") < F.col("b"))
+    tri = (
+        ordered.alias("e1")
+        .join(
+            ordered.select("repo", F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"),
+            ["repo", "b"],
+        )
+        .join(
+            ordered.select("repo", F.col("a").alias("a2"), F.col("b").alias("c")).alias("e3"),
+            ["repo", "c"],
+        )
+        .filter(F.col("a") == F.col("a2"))
+        .groupBy("repo")
+        .agg(F.count("*").alias("triangles"))
+    )
+    nodes = (
+        sym.select("repo", F.col("a").alias("uri")).distinct()
+        .groupBy("repo").agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = ordered.groupBy("repo").agg(F.count("*").alias("n_edges"))
+    out = (
+        nodes.join(n_edges, "repo", "left")
+        .join(tri, "repo", "left")
+        .fillna(0, ["n_edges", "triangles"])
+        .withColumn(
+            "density",
+            F.when(
+                F.col("n_nodes") > 1,
+                F.round(2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out

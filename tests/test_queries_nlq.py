@@ -114,3 +114,27 @@ def test_suggestions_and_explain(triples):
     ]
     plan = nlq.explain_query(Q.unused_functions(triples))
     assert "Physical Plan" in plan
+
+
+def test_simple_paths(spark):
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "a", "c"), ("g", "c", "d"), ("g", "b", "a")],
+        "repo string, src string, dst string",
+    )
+    out = Q.simple_paths(edges, "a", "d", cutoff=4)
+    paths = {tuple(r.path) for r in out.collect()}
+    assert paths == {("a", "b", "c", "d"), ("a", "c", "d")}
+    # cycle a->b->a must not loop
+    out2 = Q.simple_paths(edges, "a", "a", cutoff=4)
+    assert all("a" == r.path[0] for r in out2.collect())
+
+
+def test_graph_density_stats(spark):
+    # triangle a-b-c plus a pendant d
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"), ("g", "c", "d")],
+        "repo string, src string, dst string",
+    )
+    r = Q.graph_density_stats(edges).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 4 and r.triangles == 1
+    assert abs(r.density - round(2 * 4 / (4 * 3), 6)) < 1e-9

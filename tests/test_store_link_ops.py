@@ -196,3 +196,31 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=500)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == vids
+
+
+def test_span_triples(spark):
+    import hashlib
+
+    from codeontology_spark.fixtures import FIXTURES
+    from codeontology_spark.spans import span_triples
+
+    src = fixture_table(spark, ["simple5"]).coalesce(1)
+    t = span_triples(src)
+    rows = t.collect()
+    content = FIXTURES["simple5"]["simple.js"]
+    blob = [r for r in rows if r.pred == "rdf:type" and r.obj == "code:Blob"]
+    assert len(blob) == 1
+    ch = [r.obj for r in rows if r.subj == blob[0].subj and r.pred == "code:contentHash"]
+    assert ch == [hashlib.sha256(content.encode()).hexdigest()]
+    # the `add` function's span slice hashes back to its contentHash
+    spans = {}
+    for r in rows:
+        if r.subj.startswith("_:span|"):
+            spans.setdefault(r.subj, {})[r.pred] = r.obj
+    add_span = spans["_:span|http://codebase.local/simple.js#function_add_4"]
+    b0, b1 = int(add_span["code:byteStart"]), int(add_span["code:byteEnd"])
+    sl = content.encode()[b0:b1]
+    assert sl.startswith(b"function add") and sl.endswith(b"}")
+    assert add_span["code:contentHash"] == hashlib.sha256(sl).hexdigest()
+    assert add_span["code:previewText"] == sl.decode()[:300]
+    assert add_span["code:lineStart"] == "4"
