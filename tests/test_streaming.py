@@ -1,0 +1,51 @@
+"""C3 end-to-end: file-source micro-batches → latest-wins → incremental
+graph deltas via foreachBatch (incremental.stream_updates)."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from codeontology_spark.incremental import stream_updates
+
+
+def test_stream_updates_end_to_end(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+
+    events = [
+        {"repo": "r", "path": "a.js", "ts": "2026-01-01T00:00:00", "event_type": "updated",
+         "commit": "c1", "lang": "javascript",
+         "content": "function stale() { return 0; }"},
+        {"repo": "r", "path": "a.js", "ts": "2026-01-01T00:00:01", "event_type": "updated",
+         "commit": "c1", "lang": "javascript",
+         "content": "function fresh(x) { return x; }"},
+        {"repo": "r", "path": "b.js", "ts": "2026-01-01T00:00:00", "event_type": "updated",
+         "commit": "c1", "lang": "javascript",
+         "content": "function other() { return 1; }"},
+    ]
+    (inbox / "batch1.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    q = stream_updates(spark, str(inbox), str(state), str(ckpt), trigger_seconds=1)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                delta = spark.read.parquet(f"{state}/triples_delta")
+                if delta.count() > 0:
+                    break
+            except Exception:
+                time.sleep(1)
+    finally:
+        q.stop()
+
+    delta = spark.read.parquet(f"{state}/triples_delta")
+    names = {
+        r.obj for r in delta.filter(F.col("pred") == "code:hasName").collect()
+    }
+    # latest-wins: the ts=00:00:01 version of a.js supersedes the stale one
+    assert "fresh" in names and "other" in names
+    assert "stale" not in names
