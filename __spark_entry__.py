@@ -346,6 +346,30 @@ def _q_kg_circular_modules(spark, sf):
     return circular_dependencies(t).select("module_uri")
 
 
+def _q_kg_blob_hashes(spark, sf):
+    """A14 span/blob operator on the simple5 fixture (deterministic)."""
+    from codeontology_spark.spans import span_triples
+    from codeontology_spark.synth import fixture_table
+
+    _ship_pkg(spark)
+    src = fixture_table(spark, ["simple5"]).coalesce(1)
+    t = span_triples(src)
+    return (
+        t.filter(F.col("pred") == "code:contentHash")
+        .filter(F.col("subj").startswith("blob:"))
+        .select(F.col("subj").alias("blob_uri"), F.col("obj").alias("content_hash"))
+    )
+
+
+def _q_emb_ann_candidates(spark, sf):
+    """ANN scale path: LSH-bucket candidate pairs + exact re-rank
+    (rows-only check: the hyperplane construction is not SQL-mirrorable)."""
+    from codeontology_spark.ops.similarity import ann_bucket_candidates
+
+    emb = _read(spark, sf, "embeddings")
+    return ann_bucket_candidates(emb, n_planes=8, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families over the star schema
@@ -380,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simple5_functions": _q_kg_simple5_functions,
         "kg_userservice_methods": _q_kg_userservice_methods,
         "kg_circular_modules": _q_kg_circular_modules,
+        "kg_blob_hashes": _q_kg_blob_hashes,
+        "emb_ann_candidates": _q_emb_ann_candidates,  # rows-only (no oracle)
     }
 
 
@@ -612,5 +638,11 @@ def oracle_sql() -> dict[str, str]:
                 ('http://codebase.local/moduleA.js#module'),
                 ('http://codebase.local/moduleB.js#module')
             ) AS t(module_uri)
+        """,
+        "kg_blob_hashes": """
+            SELECT * FROM (VALUES (
+                'blob:git://fixture/simple5@80abe3c9edd9:simple.js',
+                'ac7973f853189ae472e69ba691ad9a5b1fc1f296231e1cfd15aa93639eaff4d4'
+            )) AS t(blob_uri, content_hash)
         """,
     }
