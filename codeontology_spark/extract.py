@@ -77,7 +77,21 @@ _PLAIN_FIELDS = [
 ]
 
 
-def _entity_columns(cols: dict, repo: str, path: str, commit: str, content: str) -> None:
+def _get_extractor(mode: str):
+    """Parser dispatch: 'treesitter' = jsparse (the emission-defining path);
+    'fallback' = the reference's regex-degraded path (ast_parser.py:119-121:
+    used verbatim whenever grammars are unavailable)."""
+    if mode == "fallback":
+        from .fallback import extract_file_fallback
+
+        return extract_file_fallback
+    return extract_file
+
+
+def _entity_columns(
+    cols: dict, repo: str, path: str, commit: str, content: str,
+    extractor=extract_file,
+) -> None:
     """Append one file's entity rows into columnar buffers (dict of lists).
 
     Columnar construction matters: building a 45-column pandas frame from
@@ -85,7 +99,7 @@ def _entity_columns(cols: dict, repo: str, path: str, commit: str, content: str)
     ~15× the parse itself. Lists are None when empty so Arrow writes nulls
     instead of materializing millions of empty child arrays.
     """
-    ents = extract_file(path, content)
+    ents = extractor(path, content)
     sha = hashlib.sha256(content.encode()).hexdigest()
     for e in ents:
         cols["repo"].append(repo)
@@ -130,6 +144,7 @@ def extract_entities(
     source_df: DataFrame,
     apply_filters: bool = True,
     repartition: int | None = None,
+    mode: str = "treesitter",
 ) -> DataFrame:
     """Source table → entity rows.
 
@@ -146,13 +161,15 @@ def extract_entities(
     field_names = ENTITY_SCHEMA.fieldNames()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = _get_extractor(mode)
         for pdf in batches:
             cols: dict[str, list] = {f: [] for f in field_names}
             for repo, path, commit, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
             ):
                 try:
-                    _entity_columns(cols, repo, path, commit, content or "")
+                    _entity_columns(cols, repo, path, commit, content or "",
+                                    extractor=extractor)
                 except Exception:
                     # mirror the reference's per-file failure tolerance
                     # (processor.py:342-354): a broken file yields nothing

@@ -34,10 +34,14 @@ def build_graph(
     apply_filters: bool = True,
     repartition: int | None = None,
     persist: bool = True,
+    mode: str = "treesitter",
 ) -> BuildResult:
     """source rows → (entities, triples). Both returned lazily; entities is
-    persisted because emission fans out into several projections over it."""
-    ents = extract_entities(source_df, apply_filters=apply_filters, repartition=repartition)
+    persisted because emission fans out into several projections over it.
+    mode='fallback' runs the reference's regex-degraded parser semantics."""
+    ents = extract_entities(
+        source_df, apply_filters=apply_filters, repartition=repartition, mode=mode
+    )
     if persist:
         # persist BEFORE the dedup split: dedup_colliding_uris unions two
         # branches over this subtree and Catalyst does no subplan CSE, so an
@@ -75,6 +79,37 @@ def changed_files(source_df: DataFrame, prev_state: DataFrame) -> DataFrame:
     ).drop("content_sha256")
 
 
+def infer_patterns(entities: DataFrame) -> DataFrame:
+    """A15 pattern inference (processor.py:370-438): name-heuristic design
+    patterns (singleton / factory-or-create), module dependency rollup from
+    import entities, and exported API boundaries. The reference only PRINTS
+    these (no triples are emitted — the emission layer stays unchanged for
+    fidelity); here the same findings come back as one labeled DataFrame
+    (repo, finding, uri, detail) so they are queryable."""
+    name_lc = F.lower(F.col("name"))
+    singleton = entities.filter(name_lc.contains("singleton")).select(
+        "repo", F.lit("singleton").alias("finding"), "uri",
+        F.col("name").alias("detail"),
+    )
+    factory = entities.filter(
+        name_lc.contains("factory") | name_lc.contains("create")
+    ).select(
+        "repo", F.lit("factory").alias("finding"), "uri",
+        F.col("name").alias("detail"),
+    )
+    module_deps = entities.filter(F.col("kind") == "import").select(
+        "repo", F.lit("module_dependency").alias("finding"), "uri",
+        F.col("module_path").alias("detail"),
+    )
+    api = entities.filter(F.col("is_exported")).select(
+        "repo", F.lit("public_api").alias("finding"), "uri",
+        F.col("name").alias("detail"),
+    )
+    return (
+        singleton.unionByName(factory).unionByName(module_deps).unionByName(api)
+    )
+
+
 def graph_stats(triples: DataFrame) -> DataFrame:
     """B16 get_entity_count (ontology_builder.py:396-418): COUNT(*) GROUP BY
     rdf:type over instance triples."""
@@ -91,6 +126,7 @@ __all__ = [
     "build_graph",
     "changed_files",
     "graph_stats",
+    "infer_patterns",
     "source_filter",
     "verify_content_invariant",
 ]
