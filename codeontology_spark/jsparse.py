@@ -54,6 +54,11 @@ _NONCALL_KEYWORDS = {
     "throw", "case", "with", "await", "yield", "new", "var", "let", "const",
 }
 
+# keywords whose following '(...)' is statement/new syntax, so a trailing
+# argument list does NOT make the paren group a callee (`if (a) (b)` has no
+# call node; `return (f)(x)` does)
+_CONTROL_PAREN_KEYWORDS = {"if", "for", "while", "switch", "catch", "with", "new"}
+
 _ID_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
 _SAFE_RE = re.compile(r"[^A-Za-z0-9_]+")
 
@@ -312,6 +317,9 @@ class _Extractor:
     def __init__(self, path: str, src: str):
         self.path = path
         self.src = src
+        # TS grammar only for .ts/.tsx (ast_parser.py:86-91 language_map);
+        # interface/type_alias nodes cannot appear under the JS grammar
+        self.is_ts = path.endswith((".ts", ".tsx"))
         self.toks = tokenize(src)
         # line starts for offset -> (line, col)
         self.line_starts = [0]
@@ -467,7 +475,21 @@ class _Extractor:
         pt = self.toks[k - 1].text
         return pt in (";", "{", "}", "(") or pt in ("export", "default", "else", "`", "${")
 
-    def _scan(self, lo: int, hi: int, cur_func, cur_class, in_class_body: bool):
+    def _object_literal_pos(self, k: int) -> bool:
+        """True when a '{' at token k opens an object literal (expression
+        position). Tree-sitter decides this grammatically; at token level
+        the preceding token is the discriminator. `=>` is excluded (arrow
+        BLOCK body); `case x:`-label blocks are a known ambiguity accepted
+        here (rare, and a non-method body inside scans identically)."""
+        if k == 0:
+            return False
+        pt = self.toks[k - 1]
+        if pt.kind == "punct":
+            return pt.text in ("=", "(", ",", "[", ":", "?", "&&", "||", "??", "...", "${")
+        return pt.kind == "id" and pt.text in ("return", "in", "of", "typeof", "yield")
+
+    def _scan(self, lo: int, hi: int, cur_func, cur_class, in_class_body: bool,
+              in_object: bool = False):
         t = self.toks
         k = lo
         while k < hi:
@@ -496,6 +518,19 @@ class _Extractor:
                 k = self._handle_class(k, hi, cur_func, cur_class, emit=is_decl and named)
                 continue
 
+            if (
+                self.is_ts
+                and tok.kind == "id"
+                and tok.text in ("interface", "type")
+                and (self._stmt_pos(k) or (k > 0 and t[k - 1].text == "export"))
+                and k + 1 < hi
+                and t[k + 1].kind == "id"
+            ):
+                nxt = self._handle_ts_type(k, hi)
+                if nxt is not None:
+                    k = nxt
+                    continue
+
             if tok.kind == "id" and tok.text == "var" and self._stmt_pos(k):
                 self._handle_var(k, hi, cur_func, cur_class)
                 k += 1  # keep scanning initializers for calls/arrows
@@ -513,10 +548,29 @@ class _Extractor:
                 continue
 
             if in_class_body:
-                m = self._try_method(k, hi, cur_class)
+                m = self._try_method(k, hi, cur_func, cur_class)
                 if m is not None:
                     k = m
                     continue
+
+            if in_object:
+                # object-literal method_definition: same node type as class
+                # methods in the tree-sitter grammar, dispatched by the same
+                # branch (ast_parser.py:400-402). parent_class_uri follows
+                # context['current_class'] — None at top level, the
+                # enclosing class when the object sits inside a class body
+                # (the rollup into cls.methods is parent-uri-driven either
+                # way, _establish_relationships)
+                m = self._try_method(k, hi, cur_func, cur_class)
+                if m is not None:
+                    k = m
+                    continue
+
+            if tok.kind == "punct" and tok.text == "{" and self._object_literal_pos(k):
+                bclose = self._match_fwd(k, "{", "}")
+                self._scan(k + 1, bclose, cur_func, cur_class, False, in_object=True)
+                k = bclose + 1
+                continue
 
             if tok.kind == "punct" and tok.text == "(":
                 self._maybe_call(k, cur_func, cur_class)
@@ -694,8 +748,12 @@ class _Extractor:
             self._scan(i + 1, bclose, cur_func, cur_class, in_class_body=True)
         return bclose + 1
 
-    def _try_method(self, k: int, hi: int, cur_class) -> int | None:
-        """Match a method_definition at token k inside a class_body."""
+    def _try_method(self, k: int, hi: int, cur_func, cur_class) -> int | None:
+        """Match a method_definition at token k inside a class_body or an
+        object literal. The body scans with the ENCLOSING (cur_func,
+        cur_class): the reference dispatch never sets current_function for
+        method_definition (ast_parser.py:400-402), so calls inside a method
+        attribute to the surrounding function, else the class, else ''."""
         t = self.toks
         i = k
         start_k = k
@@ -760,9 +818,8 @@ class _Extractor:
         # method parameters are parsed but never appended to the entity list
         # (ast_parser.py:400-402) — so none are created here at all
         self.ents.append(ent)
-        # method body: current_function stays None, current_class stays set
-        self._scan(i + 2, pclose, None, cur_class, False)
-        self._scan(j + 1, bclose, None, cur_class, False)
+        self._scan(i + 2, pclose, cur_func, cur_class, False)
+        self._scan(j + 1, bclose, cur_func, cur_class, False)
         return bclose + 1
 
     def _handle_var(self, k: int, hi: int, cur_func, cur_class):
@@ -812,12 +869,22 @@ class _Extractor:
         default_sym = None
         spec = None
         end_k = k
+        saw_star = False
         while i < hi:
             tok = t[i]
             if tok.kind == "str":
                 spec = tok.text[1:-1]
                 end_k = i
                 break
+            if tok.kind == "punct" and tok.text == "*":
+                # namespace import `* as ns`: the reference's
+                # import_clause.find_child('identifier') is
+                # direct-children-only, so the alias inside the
+                # namespace_import node emits NO imported symbols
+                # (ast_parser.py:630-644); skip the `as <id>` pair.
+                saw_star = True
+                i += 1
+                continue
             if tok.kind == "punct" and tok.text == "{":
                 close = self._match_fwd(i, "{", "}")
                 j = i + 1
@@ -833,8 +900,10 @@ class _Extractor:
                 i = close + 1
                 continue
             if tok.kind == "id" and tok.text not in ("from", "type") and default_sym is None and not symbols:
-                if tok.text == "*":
-                    pass
+                if saw_star:
+                    if tok.text == "as":
+                        i += 2  # skip `as <alias>` — alias is not a symbol
+                        continue
                 else:
                     default_sym = tok.text
             if tok.text == ";":
@@ -882,6 +951,80 @@ class _Extractor:
                 self.module.imports.append(f"{BASE}{resolved}#module")
         return end_k + 1
 
+    def _type_expr_end(self, k: int, hi: int) -> int:
+        """Last token of a type-alias value starting at token k, including a
+        trailing ';' (the statement node spans it). Brackets (incl. TS
+        generics) are balanced; at depth 0 an unmatched closer or an
+        ASI-style line break after a type-terminating token ends the node."""
+        t = self.toks
+        depth = 0
+        i = k
+        last = k
+        while i < hi:
+            tx = t[i].text if t[i].kind == "punct" else None
+            if tx == ";" and depth == 0:
+                return i
+            if tx in ("(", "[", "{", "<"):
+                depth += 1
+            elif tx in (")", "]", "}", ">"):
+                if depth == 0:
+                    return last
+                depth -= 1
+            elif depth == 0 and i > k:
+                prev = t[i - 1]
+                line_i, _ = self.linecol(t[i].a)
+                line_p, _ = self.linecol(prev.b)
+                ends_type = prev.kind in ("id", "num", "str") or (
+                    prev.kind == "punct" and prev.text in (")", "]", "}", ">")
+                )
+                if line_i > line_p and ends_type:
+                    return last
+            last = i
+            i += 1
+        return last
+
+    def _handle_ts_type(self, k: int, hi: int) -> int | None:
+        """TS interface_declaration / type_alias_declaration: both dispatch
+        to _extract_interface (ast_parser.py:419-422, :686-701), lowering to
+        one Interface entity named by the type identifier (is_exported stays
+        False: _check_export_status :773-776). The body is a type context —
+        no expression children exist in the CST — so scanning resumes after
+        the node."""
+        t = self.toks
+        name_tok = t[k + 1]
+        if t[k].text == "interface":
+            j = k + 2
+            while j < hi and not (t[j].kind == "punct" and t[j].text in ("{", ";", "}")):
+                j += 1
+            if j >= hi or t[j].text != "{":
+                return None
+            end_k = self._match_fwd(j, "{", "}")
+        else:
+            j = k + 2
+            if j < hi and t[j].kind == "punct" and t[j].text == "<":
+                j = self._match_fwd(j, "<", ">") + 1
+            if j >= hi or not (t[j].kind == "punct" and t[j].text == "="):
+                return None  # `type` here is an ordinary identifier
+            end_k = self._type_expr_end(j + 1, hi)
+        line, col = self.linecol(t[k].a)
+        el, ec = self.linecol(t[end_k].b)
+        self.ents.append(
+            Ent(
+                kind="interface",
+                name=name_tok.text,
+                uri=mint_uri(self.path, "interface", name_tok.text, line),
+                line=line,
+                col=col,
+                end_line=el,
+                end_col=ec,
+                body_hash=sha16(self._node_text(t[k].a, t[end_k].b)),
+            )
+        )
+        # module.interfaces has NO relationship loop in the reference
+        # emitter (ontology_builder.py:337-359 covers functions/classes/
+        # exports/imports only), so nothing is tracked on the module row
+        return end_k + 1
+
     def _handle_export(self, k: int, hi: int):
         t = self.toks
         is_default = k + 1 < hi and t[k + 1].text == "default"
@@ -892,7 +1035,7 @@ class _Extractor:
             dtx = t[decl_k].text
             if dtx == "async" and decl_k + 1 < hi and t[decl_k + 1].text == "function":
                 dtx = "function"
-            if dtx in ("function", "class"):
+            if dtx in ("function", "class") or (self.is_ts and dtx == "interface"):
                 is_decl = True
                 # body starts at the first '{' at paren-depth 0
                 bk = decl_k
@@ -976,14 +1119,34 @@ class _Extractor:
         # walk back over the member chain to the callee start
         i = p
         crossed_group = False  # saw a (...)/[...] group inside the chain
+        group_callee = False  # the callee IS a parenthesized expression
         while True:
             if t[i].kind == "punct" and t[i].text in (")", "]"):
-                i = self._match_back(i, "(" if t[i].text == ")" else "[", t[i].text)
-                if i <= 0:
+                g = self._match_back(i, "(" if t[i].text == ")" else "[", t[i].text)
+                if g < 0:
                     return
-                i -= 1
-                crossed_group = True
-                continue
+                before = g - 1
+                if before >= 0 and (
+                    t[before].kind == "id" and t[before].text not in _NONCALL_KEYWORDS
+                    or t[before].kind == "punct" and t[before].text in (")", "]")
+                ):
+                    i = before
+                    crossed_group = True
+                    continue
+                # nothing chains into the group: a '(...)' standing alone is
+                # itself the callee — parenthesized_expression as
+                # call_expression children[0], i.e. an IIFE
+                # (ast_parser.py:708-710) — unless the paren is statement
+                # syntax (if/while/...) or binds to `new`
+                if t[i].text == ")" and not (
+                    before >= 0
+                    and t[before].kind == "id"
+                    and t[before].text in _CONTROL_PAREN_KEYWORDS
+                ):
+                    i = g
+                    group_callee = True
+                    break
+                return
             if t[i].kind != "id":
                 return
             if i - 1 >= 0 and t[i - 1].kind == "punct" and t[i - 1].text in (".", "?."):
@@ -991,12 +1154,13 @@ class _Extractor:
                 continue
             break
         start_tok = i
-        if t[start_tok].kind == "id" and t[start_tok].text in _NONCALL_KEYWORDS:
-            return  # e.g. `if (a) (b)` — control paren, not a callee
-        if not crossed_group and start_tok - 1 >= 0 and t[start_tok - 1].text == "new":
-            # `new a.b.c(args)` binds the parens to the new_expression —
-            # no call node; `new X().m(...)` past a group IS a call
-            return
+        if not group_callee:
+            if t[start_tok].kind == "id" and t[start_tok].text in _NONCALL_KEYWORDS:
+                return  # e.g. `if (a) (b)` — control paren, not a callee
+            if not crossed_group and start_tok - 1 >= 0 and t[start_tok - 1].text == "new":
+                # `new a.b.c(args)` binds the parens to the new_expression —
+                # no call node; `new X().m(...)` past a group IS a call
+                return
         callee_text = self.src[t[start_tok].a: t[p].b]
         close = self._match_fwd(k, "(", ")")
         args = self._split_args(k + 1, close)

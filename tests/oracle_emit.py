@@ -68,6 +68,9 @@ def oracle_triples(path: str, ents: list[Ent]) -> list[tuple]:
             boolean(e.uri, "code:isAbstract", False)
             boolean(e.uri, "code:isExported", e.is_exported)
             boolean(e.uri, "code:isDefaultExport", e.is_default_export)
+        elif e.kind == "interface":
+            add(e.uri, "rdf:type", "code:Interface", True, "uri")
+            boolean(e.uri, "code:isExported", e.is_exported)
         elif e.kind == "variable":
             add(e.uri, "rdf:type", "code:Variable", True, "uri")
             boolean(e.uri, "code:isConst", e.is_const)

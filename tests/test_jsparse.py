@@ -167,3 +167,57 @@ def test_validation2_call_resolution():
     repo_cls = by_kind(v, "class")[0]
     assert repo_cls.name == "TestRepository"
     assert {m.name for m in by_kind(v, "method")} == {"constructor", "save"}
+
+
+def test_namespace_import_has_no_symbols():
+    """ADVICE r1: `import * as ns from './x'` — the reference's
+    import_clause.find_child('identifier') is direct-children-only, so a
+    namespace import records NO imported symbols (the alias lives inside
+    the namespace_import node)."""
+    ents = extract_file("a.js", "import * as ns from './x.js';\nns.go();\n")
+    imp = [e for e in ents if e.kind == "import"][0]
+    assert imp.imported_symbols == []
+    # default + namespace combined: only the default identifier records
+    ents2 = extract_file("b.js", "import dflt, * as ns from './x.js';\n")
+    imp2 = [e for e in ents2 if e.kind == "import"][0]
+    assert imp2.imported_symbols == ["dflt"]
+
+
+def test_ts_interface_and_type_alias():
+    src = (
+        "export interface A { x: number; }\n"
+        "type B = { y: string };\n"
+        "export type C = A | B;\n"
+    )
+    ents = extract_file("t.ts", src)
+    ifaces = {e.name: e for e in ents if e.kind == "interface"}
+    assert set(ifaces) == {"A", "B", "C"}
+    assert ifaces["A"].uri.endswith("#interface_A_1")
+    assert ifaces["C"].line == 3
+    # the same text in a .js file parses with the JS grammar: no interfaces
+    assert [e for e in extract_file("t.js", src) if e.kind == "interface"] == []
+
+
+def test_object_literal_methods():
+    src = "const api = {\n  run(x) { helper(x); },\n  get size() { return 1; },\n};\nfunction helper(v) {}\n"
+    ents = extract_file("o.js", src)
+    methods = {e.name: e for e in ents if e.kind == "method"}
+    assert set(methods) == {"run", "size"}
+    assert methods["run"].parent_class_uri is None
+    # the method-looking tokens must NOT also produce call entities
+    calls = [e.callee_name for e in ents if e.kind == "call"]
+    assert calls == ["helper"]
+
+
+def test_iife_callee_is_parenthesized_expression():
+    src = "(function boot() { go(); })();\nfunction go() {}\n(() => { go(); })();\n"
+    ents = extract_file("i.js", src)
+    calls = [e for e in ents if e.kind == "call"]
+    texts = sorted(c.callee_name for c in calls)
+    assert "go" in texts
+    iife = [c for c in calls if c.callee_name.startswith("(")]
+    assert len(iife) == 2  # children[0].text incl. parens (ast_parser.py:709-710)
+    assert any("function boot()" in c.callee_name for c in iife)
+    # control parens never become callees
+    ents2 = extract_file("c.js", "if (x) (y);\n")
+    assert [e for e in ents2 if e.kind == "call"] == []
