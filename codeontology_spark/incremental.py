@@ -78,14 +78,25 @@ def delete_entity(triples: DataFrame, uri: str) -> DataFrame:
 
 def update_entity_prop(
     triples: DataFrame, uri: str, pred: str, obj: str, is_uri: bool = False,
-    dtype: str = "string",
+    dtype: str = "string", repo: str | None = None,
 ) -> DataFrame:
     """C1 (graph_store.py:165-195): delete old triples of a predicate,
-    insert the new value."""
+    insert the new value.
+
+    `repo` is required when the subject has no existing triples (the schema
+    declares repo non-nullable); for a known subject it is looked up. A
+    point update on an unknown subject with no repo is a no-op, matching
+    the reference's update-if-exists semantics (graph_store.py:176-183).
+    For batched updates at scale, join an updates DataFrame instead of
+    looping this per-row helper.
+    """
     spark = triples.sparkSession
     kept = triples.filter(~((F.col("subj") == uri) & (F.col("pred") == pred)))
-    repo_row = triples.filter(F.col("subj") == uri).select("repo").limit(1).collect()
-    repo = repo_row[0]["repo"] if repo_row else None
+    if repo is None:
+        repo_row = triples.filter(F.col("subj") == uri).select("repo").limit(1).collect()
+        if not repo_row:
+            return triples
+        repo = repo_row[0]["repo"]
     new = spark.createDataFrame([(repo, uri, pred, obj, is_uri, dtype)], schema=triples.schema)
     return kept.unionByName(new)
 

@@ -192,18 +192,56 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return visited
 
 
+def reachable_from(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFrame:
+    """Nodes reachable from `seeds` in ≥1 hop — a bounded frontier BFS.
+
+    State is frontier-sized (the current wave plus the visited set), never
+    the full transitive closure: each hop is one hash equi-join of the edge
+    slice against the (broadcast) frontier and one anti-join against
+    visited, so the plan survives graphs where the closure itself would be
+    O(V·avg-reach). edges: (repo, src, dst); seeds: (repo, uri).
+    """
+    frontier = seeds.select("repo", "uri").distinct().localCheckpoint(eager=True)
+    reached = None
+    for _ in range(max_hops):
+        step = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("uri", "src")), ["repo", "src"]
+            )
+            .select("repo", F.col("dst").alias("uri"))
+            .distinct()
+        )
+        if reached is not None:
+            step = step.join(reached, ["repo", "uri"], "left_anti")
+        step = step.localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        reached = step if reached is None else reached.unionByName(step).localCheckpoint(
+            eager=True
+        )
+        frontier = step
+    if reached is None:
+        return seeds.select("repo", "uri").limit(0)
+    return reached
+
+
+def chain_intermediates(edges: DataFrame, starts: DataFrame, ends: DataFrame) -> DataFrame:
+    """URIs on some path start →+ mid →+ end: bidirectional bounded BFS —
+    forward reachability from the start set ∩ backward reachability from the
+    end set. Replaces the round-1 full-closure plan (the closure
+    materializes O(V·avg-reach) pairs before filtering; the BFS state is
+    frontier-sized from both ends)."""
+    fwd = reachable_from(edges, starts)
+    rev = edges.select("repo", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = reachable_from(rev, ends)
+    return fwd.join(bwd, ["repo", "uri"], "left_semi")
+
+
 def call_chain_between(t: DataFrame, start_name: str, end_name: str) -> DataFrame:
     """B6 (query_engine.py:99-104): intermediates on a calls+ path."""
-    closure = transitive_closure(edge(t, "code:calls"))
-    start = names(t, "src").filter(F.col("name") == start_name).drop("name")
-    end = names(t, "dst").filter(F.col("name") == end_name).drop("name")
-    fwd = closure.join(F.broadcast(start), ["repo", "src"]).select(
-        "repo", F.col("dst").alias("uri")
-    )
-    bwd = closure.join(F.broadcast(end), ["repo", "dst"]).select(
-        "repo", F.col("src").alias("uri")
-    )
-    mid = fwd.intersect(bwd)
+    start = names(t).filter(F.col("name") == start_name).drop("name")
+    end = names(t).filter(F.col("name") == end_name).drop("name")
+    mid = chain_intermediates(edge(t, "code:calls"), start, end)
     return mid.join(names(t), ["repo", "uri"]).select("repo", "uri", "name")
 
 
@@ -218,32 +256,34 @@ def circular_dependencies(t: DataFrame) -> DataFrame:
 
 
 def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
-    """B15 k-hop neighborhood (graph_store.py:630-662): union of outgoing
-    and incoming triples around a URI, iterated to depth. Depth is small
-    and user-driven; each hop is two semi-joins against a broadcast
-    frontier."""
+    """B15 k-hop neighborhood (graph_store.py:630-662): all triples whose
+    subject is within `depth` undirected hops of `uri`.
+
+    The adjacency is symmetrized up front so each hop is a single hash
+    equi-join against the broadcast frontier (an OR-condition join would
+    degrade to a nested-loop rescan of the link table per hop — asserted
+    against in tests). `repo` rides through every join: parameter URIs
+    strip file paths (quirk §1.3-2) and would otherwise collide across
+    repos."""
     link = t.filter(F.col("is_uri") | (F.col("dtype") == "bnode")).select(
         "repo", "subj", "obj"
     )
-    frontier = None
-    reached = None
-    for d in range(max(depth, 1)):
-        if frontier is None:
-            cond = (F.col("subj") == uri) | (F.col("obj") == uri)
-            hop = link.filter(cond)
-        else:
-            fr = F.broadcast(frontier)
-            hop = link.join(
-                fr, (link.subj == fr.u) | (link.obj == fr.u)
-            ).select("repo", "subj", "obj")
-        reached = hop if reached is None else reached.unionByName(hop).distinct()
-        frontier = (
-            reached.select(F.col("subj").alias("u"))
-            .union(reached.select(F.col("obj").alias("u")))
+    adj = (
+        link.select("repo", F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(link.select("repo", F.col("obj").alias("u"), F.col("subj").alias("v")))
+    )
+    visited = adj.filter(F.col("u") == uri).select("repo", "u").distinct()
+    frontier = visited
+    for _ in range(max(depth, 1)):
+        nbrs = (
+            adj.join(F.broadcast(frontier), ["repo", "u"])
+            .select("repo", F.col("v").alias("u"))
             .distinct()
         )
-    members = frontier.withColumnRenamed("u", "subj").distinct()
-    return t.join(members, ["subj"]).distinct()
+        frontier = nbrs.join(visited, ["repo", "u"], "left_anti")
+        visited = visited.unionByName(frontier).distinct()
+    members = visited.withColumnRenamed("u", "subj")
+    return t.join(members, ["repo", "subj"]).distinct()
 
 
 # -- B19: connected components (graph_store.py:364-372; SURVEY §4.2) --------
@@ -354,6 +394,109 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFr
             .localCheckpoint(eager=True)
         )
     return ranks.orderBy(F.desc("rank"))
+
+
+def betweenness_centrality(
+    edges: DataFrame, sample_sources: int = 32, max_depth: int = 10
+) -> DataFrame:
+    """B20 betweenness (graph_store.py:374-390 runs networkx's exact
+    Brandes): Brandes' algorithm over a deterministic sample of source
+    nodes, fully as DataFrame joins.
+
+    Forward pass: multi-source BFS carrying (root, node, dist, sigma);
+    every hop is one hash equi-join edge⋈frontier + a partial-sum groupBy
+    for sigma (# shortest paths) + an anti-join against assigned nodes.
+    Backward pass (dependency accumulation): levels processed deepest-
+    first; delta(v) = Σ_w σ(v)/σ(w)·(1+delta(w)) over DAG edges v→w, again
+    one equi-join + groupBy per level. Work is O(S·E) spread across the
+    cluster; driver holds only ~2·depth tiny plans. sample_sources ≥ |V|
+    degenerates to exact unnormalized betweenness (networkx-comparable,
+    pinned in tests); the sample is the min-k of xxhash64(uri) per repo —
+    deterministic, no RNG.
+    Returns (repo, uri, betweenness) with betweenness = accumulated
+    dependency / #sampled-roots in that repo."""
+    from pyspark.sql import Window
+
+    verts = (
+        edges.select("repo", F.col("src").alias("uri"))
+        .unionByName(edges.select("repo", F.col("dst").alias("uri")))
+        .distinct()
+    )
+    w = Window.partitionBy("repo").orderBy(F.xxhash64("uri"), "uri")
+    roots = (
+        verts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_sources)
+        .select("repo", F.col("uri").alias("root"))
+        .localCheckpoint(eager=True)
+    )
+    n_roots = roots.groupBy("repo").agg(F.count("*").alias("n_roots"))
+
+    e = edges.select("repo", "src", "dst").distinct().localCheckpoint(eager=True)
+    level0 = roots.select(
+        "repo", "root", F.col("root").alias("uri"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [level0]
+    assigned = level0.select("repo", "root", "uri")
+    for _ in range(max_depth):
+        prev = levels[-1]
+        nxt = (
+            prev.join(e.withColumnRenamed("src", "uri"), ["repo", "uri"])
+            .groupBy("repo", "root", F.col("dst").alias("uri"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(assigned, ["repo", "root", "uri"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        assigned = assigned.unionByName(
+            nxt.select("repo", "root", "uri")
+        ).localCheckpoint(eager=True)
+
+    # backward sweep: delta at the deepest level is 0
+    spark = edges.sparkSession
+    deltas_below = levels[-1].withColumn("delta", F.lit(0.0))
+    parts = []
+    for d in range(len(levels) - 2, -1, -1):
+        cur = levels[d]
+        succ = deltas_below.select(
+            "repo", "root", F.col("uri").alias("dst"),
+            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(e.withColumnRenamed("src", "uri"), ["repo", "uri"])
+            .join(succ, ["repo", "root", "dst"])
+            .groupBy("repo", "root", "uri")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        cur_delta = (
+            cur.join(contrib, ["repo", "root", "uri"], "left")
+            .fillna(0.0, ["delta"])
+            .localCheckpoint(eager=True)
+        )
+        parts.append(
+            cur_delta.filter(F.col("uri") != F.col("root")).select("repo", "uri", "delta")
+        )
+        deltas_below = cur_delta
+    if not parts:
+        return spark.createDataFrame([], "repo string, uri string, betweenness double")
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return (
+        acc.groupBy("repo", "uri")
+        .agg(F.sum("delta").alias("dep_sum"))
+        .join(n_roots, "repo")
+        .select(
+            "repo", "uri",
+            (F.col("dep_sum") / F.col("n_roots")).alias("betweenness"),
+        )
+        .orderBy(F.desc("betweenness"), "uri")
+    )
 
 
 # -- B13: pattern match (query_engine.py:208-246, 433-483) -------------------

@@ -28,18 +28,38 @@ from .schemas import LINEAGE_SCHEMA
 FILE_LINEAGE_COLS = ["repo", "path", "content_sha256"]
 
 
-def write_triples(triples: DataFrame, base: str, snapshot: str = "latest") -> str:
+def write_triples(
+    triples: DataFrame,
+    base: str,
+    snapshot: str = "latest",
+    buckets_per_pred: int = 8,
+    num_partitions: int | None = None,
+) -> str:
     """Partition by predicate: every template query (B1-B16) filters on
     pred, so pruning turns each into a single-partition scan. repo stays a
     column (high cardinality → not a partition key; bucketing by repo is
-    the Iceberg-side upgrade)."""
+    the Iceberg-side upgrade).
+
+    The shuffle key is (pred, hash-bucket(subj)), not pred alone: with only
+    ~40 predicates a pred-only repartition caps the write at 40 tasks and
+    the dominant predicates (hasName, locatedAt ≈ a third of the table)
+    serialize into single straggler tasks. Salting by subject hash keeps
+    partition pruning (pred is still the directory key) while spreading
+    each predicate over `buckets_per_pred` tasks/files.
+
+    With `num_partitions=None` the shuffle count is AQE's call: it sizes
+    partitions by bytes over the ~40×buckets distinct keys (tiny graphs
+    coalesce to few files, 100 TB graphs fan out). Pass an explicit
+    `num_partitions` to pin the task count (AQE does not coalesce an
+    explicitly-sized repartition)."""
     path = f"{base}/snap={snapshot}"
-    (
-        triples.repartition("pred")
-        .write.mode("overwrite")
-        .partitionBy("pred")
-        .parquet(path)
+    keys = [F.col("pred"), F.pmod(F.xxhash64("subj"), F.lit(buckets_per_pred))]
+    part = (
+        triples.repartition(num_partitions, *keys)
+        if num_partitions
+        else triples.repartition(*keys)
     )
+    part.write.mode("overwrite").partitionBy("pred").parquet(path)
     return path
 
 
@@ -62,7 +82,7 @@ def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
         for pdf in batches:
             n_rows += len(pdf)
             if "path" in pdf.columns and len(pdf):
-                paths.update(pdf["path"].head(1000))
+                paths.update(pdf["path"])
                 repo = pdf["repo"].iloc[0]
         yield pd.DataFrame(
             [

@@ -138,3 +138,79 @@ def test_graph_density_stats(spark):
     r = Q.graph_density_stats(edges).collect()[0]
     assert r.n_nodes == 4 and r.n_edges == 4 and r.triangles == 1
     assert abs(r.density - round(2 * 4 / (4 * 3), 6)) < 1e-9
+
+
+def test_betweenness_matches_networkx(spark):
+    """Exact mode (sample >= |V|) must reproduce networkx's unnormalized
+    directed Brandes betweenness (the algorithm graph_store.py:374-390
+    runs), scaled by 1/|V| (our per-sampled-root averaging)."""
+    import networkx as nx
+
+    raw = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+           ("b", "d"), ("e", "a"), ("c", "e")]
+    edges = spark.createDataFrame(
+        [("g", s, d) for s, d in raw], "repo string, src string, dst string"
+    )
+    out = {r.uri: r.betweenness for r in
+           Q.betweenness_centrality(edges, sample_sources=100).collect()}
+    g = nx.DiGraph(raw)
+    exp = nx.betweenness_centrality(g, normalized=False)
+    n = g.number_of_nodes()
+    for node, bc in exp.items():
+        assert abs(out.get(node, 0.0) - bc / n) < 1e-9, (node, out, exp)
+
+
+def test_betweenness_sampled_is_bounded(spark):
+    """Sampled mode touches only frontier-state per level and returns a
+    per-root-averaged score comparable across sample sizes."""
+    chain = [("g", f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "repo string, src string, dst string")
+    out = Q.betweenness_centrality(edges, sample_sources=4, max_depth=15)
+    rows = out.collect()
+    assert rows and all(r.betweenness >= 0 for r in rows)
+
+
+def test_chain_intermediates_bfs(spark):
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d"), ("g", "x", "c")],
+        "repo string, src string, dst string",
+    )
+    starts = spark.createDataFrame([("g", "a")], "repo string, uri string")
+    ends = spark.createDataFrame([("g", "d")], "repo string, uri string")
+    mids = {r.uri for r in Q.chain_intermediates(edges, starts, ends).collect()}
+    assert mids == {"b", "c"}
+
+
+def test_get_context_plan_has_no_nested_loop_join(triples):
+    """B15 regression (VERDICT r1): the k-hop frontier must expand through
+    hash equi-joins; an OR-condition join would degrade to a
+    BroadcastNestedLoopJoin rescan of the link table per hop."""
+    import contextlib
+    import io
+
+    uri = "http://codebase.local/simple.js#function_add_4"
+    ctx = Q.get_context(triples, uri, depth=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ctx.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_get_context_does_not_leak_across_repos(spark):
+    """Colliding subject URIs in different repos must stay separated: the
+    frontier and final membership join carry `repo`."""
+    rows = [
+        ("r1", "u:x", "code:calls", "u:y", True, "uri"),
+        ("r1", "u:x", "code:hasName", "xname-r1", False, "string"),
+        ("r2", "u:x", "code:calls", "u:z", True, "uri"),
+        ("r2", "u:x", "code:hasName", "xname-r2", False, "string"),
+    ]
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, is_uri boolean, dtype string"
+    )
+    ctx = Q.get_context(t, "u:x", depth=1)
+    # both repos contain u:x, so both neighborhoods surface — but each row
+    # keeps its own repo and r1 rows never include r2's objects
+    got = {(r.repo, r.subj, r.obj) for r in ctx.collect()}
+    assert ("r1", "u:x", "u:y") in got and ("r2", "u:x", "u:z") in got
+    assert ("r1", "u:x", "u:z") not in got

@@ -143,3 +143,24 @@ def test_calls_edges(built):
     assert calls == 4 and called_by == 4
     made_by = t.filter(F.col("pred") == "code:madeBy")
     assert made_by.count() == 4  # all four call sites inside calculate
+
+
+def test_infer_patterns(built):
+    """A15 (processor.py:390-438): factory/create heuristics, import
+    dependency rollup, exported API boundaries — as queryable rows."""
+    from codeontology_spark.pipeline import infer_patterns
+
+    _, res = built
+    found = infer_patterns(res.entities)
+    by_kind = {r["finding"] for r in found.select("finding").distinct().collect()}
+    assert {"factory", "module_dependency"} <= by_kind
+    factories = {
+        r.detail for r in found.filter("finding = 'factory'").collect()
+    }
+    assert "createUser" in factories  # layers3 fixture
+    deps = {r.detail for r in found.filter("finding = 'module_dependency'").collect()}
+    assert "./database.js" in deps
+    # tree-sitter-path quirk: _check_export_status always returns False
+    # (ast_parser.py:773-776), so is_exported is never set and the API-
+    # boundary scan finds 0 — exactly the reference's printed result
+    assert found.filter("finding = 'public_api'").count() == 0
