@@ -240,6 +240,17 @@ def _q_cc_components(spark, sf):
     )
 
 
+def _q_closure_chain_endpoints(spark, sf):
+    """B6 plan: bidirectional bounded BFS (frontier-sized state, no full
+    closure) — intermediates on paths 0 →+ mid →+ 12."""
+    from codeontology_spark.queries import chain_intermediates
+
+    edges = _synthetic_edges(spark, sf)
+    starts = spark.createDataFrame([("g", 0)], "repo string, uri long")
+    ends = spark.createDataFrame([("g", 12)], "repo string, uri long")
+    return chain_intermediates(edges, starts, ends).select("uri")
+
+
 def _q_docs_exact_dedup(spark, sf):
     return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -286,8 +297,14 @@ def _q_docs_simhash(spark, sf):
 
 
 def _q_docs_ngram_jaccard(spark, sf):
-    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+    """Full documents table: hot-shingle df-capping (max_df) bounds the
+    pair-join fan-out, so the round-1 doc_id<200 guard is gone."""
+    docs = _read(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=64)
+
+
+def _q_docs_minhash_banded_pairs(spark, sf):
+    return D.minhash_banded_pairs(_read(spark, sf, "documents"))
 
 
 def _q_emb_knn(spark, sf):
@@ -339,6 +356,16 @@ def _q_kg_userservice_methods(spark, sf):
     )
 
 
+def _q_kg_ts_interfaces(spark, sf):
+    """TS-path coverage: interface_declaration / type_alias_declaration
+    both lower to code:Interface entities (ast_parser.py:419-422) — from
+    the deterministic tsapp fixture."""
+    from codeontology_spark.queries import names, typed
+
+    t = _kg_triples(spark).filter(F.col("repo") == "fixture/tsapp")
+    return typed(t, "code:Interface").join(names(t), ["repo", "uri"]).select("uri", "name")
+
+
 def _q_kg_circular_modules(spark, sf):
     from codeontology_spark.queries import circular_dependencies
 
@@ -361,13 +388,21 @@ def _q_kg_blob_hashes(spark, sf):
     )
 
 
+_ANN_PLANES = 8
+_ANN_MAX_BUCKET = 32
+
+
 def _q_emb_ann_candidates(spark, sf):
-    """ANN scale path: LSH-bucket candidate pairs + exact re-rank
-    (rows-only check: the hyperplane construction is not SQL-mirrorable)."""
+    """ANN scale path: LSH-bucket candidate pairs (deterministic md5-derived
+    hyperplanes, hot-bucket cap) + exact cosine re-rank. The construction is
+    mirrored bit-for-bit in SQL (md5 slices → plane components), so this now
+    has a real oracle. dim derives from the data (fail-fast on ragged)."""
     from codeontology_spark.ops.similarity import ann_bucket_candidates
 
     emb = _read(spark, sf, "embeddings")
-    return ann_bucket_candidates(emb, n_planes=8, dim=64)
+    return ann_bucket_candidates(
+        emb, n_planes=_ANN_PLANES, max_bucket=_ANN_MAX_BUCKET
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -384,8 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_filter_events": _q_string_filter_events,
         "topk_orders": _q_topk_orders,
         "distinct_suppliers_per_nation": _q_distinct_suppliers_per_nation,
-        # iterative graph operators (closure loop / label propagation)
+        # iterative graph operators (closure loop / bidi BFS / label prop)
         "closure_nation_chain": _q_closure_nation_chain,
+        "closure_chain_endpoints": _q_closure_chain_endpoints,
         "cc_components": _q_cc_components,
         # training-data ops: dedup / text analysis / similarity
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -395,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_sig": _q_docs_minhash_sig,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_minhash_banded_pairs": _q_docs_minhash_banded_pairs,
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_knn": _q_emb_knn,
@@ -403,9 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_type_counts": _q_kg_entity_type_counts,
         "kg_simple5_functions": _q_kg_simple5_functions,
         "kg_userservice_methods": _q_kg_userservice_methods,
+        "kg_ts_interfaces": _q_kg_ts_interfaces,
         "kg_circular_modules": _q_kg_circular_modules,
         "kg_blob_hashes": _q_kg_blob_hashes,
-        "emb_ann_candidates": _q_emb_ann_candidates,  # rows-only (no oracle)
+        "emb_ann_candidates": _q_emb_ann_candidates,
     }
 
 
@@ -421,6 +459,67 @@ _SHINGLES = (
 _STOP_EN = "'the','a','of','and','to','in','is','it'"
 _STOP_DE = "'der','die','das','und','ist','nicht','ein','zu'"
 _STOP_FR = "'le','la','les','et','est','un','une','dans'"
+
+
+def _ann_oracle_sql() -> str:
+    """SQL twin of ann_bucket_candidates: identical md5-derived hyperplanes
+    (verified bit-equal to the Python construction), identical hot-bucket
+    cap, identical re-rank."""
+
+    def plane(i: int) -> str:
+        return (
+            "list_transform(range(0, length(embedding)), j -> "
+            f"(('0x' || substr(md5(concat({i}::VARCHAR, ':', j::VARCHAR)), 1, 8))::BIGINT"
+            " / 2147483647.0) - 1.0)"
+        )
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane(i)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for i in range(_ANN_PLANES)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+        ), capped AS (
+            SELECT vec_id, embedding, bucket FROM b
+            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                    <= {_ANN_MAX_BUCKET}
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM capped x JOIN capped y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """
+
+
+def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
+    prefixes = ["", "x", "y", "z"]
+
+    def mh(i: int) -> str:
+        p = prefixes[i // 4]
+        arg = f"'{p}' || sh" if p else "sh"
+        return f"min(substr(md5({arg}), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+
+    k = bands * rows_per_band
+    mins = ", ".join(mh(i) for i in range(k))
+    band_joins = "\nUNION ALL\n".join(
+        f"""SELECT x.doc_id AS a, y.doc_id AS b, {bnd} AS band
+            FROM (SELECT doc_id, {' || '.join(f'mh{bnd * rows_per_band + r}' for r in range(rows_per_band))} AS bsig FROM sig) x
+            JOIN (SELECT doc_id, {' || '.join(f'mh{bnd * rows_per_band + r}' for r in range(rows_per_band))} AS bsig FROM sig) y
+              ON x.bsig = y.bsig AND x.doc_id < y.doc_id"""
+        for bnd in range(bands)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, {mins} FROM ({_SHINGLES}) GROUP BY doc_id
+        ), pairs AS (
+            {band_joins}
+        )
+        SELECT a, b, COUNT(*) AS n_bands, MIN(band) AS first_band
+        FROM pairs GROUP BY a, b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -519,6 +618,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS node, LEAST(a, MIN(b)) AS component FROM r GROUP BY a
         """,
+        "closure_chain_endpoints": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS src,
+                       CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+                FROM nation
+            ), fwd(x) AS (
+                SELECT dst FROM e WHERE src = 0
+                UNION
+                SELECT e.dst FROM fwd JOIN e ON e.src = fwd.x
+            ), bwd(x) AS (
+                SELECT src FROM e WHERE dst = 12
+                UNION
+                SELECT e.src FROM bwd JOIN e ON e.dst = bwd.x
+            )
+            SELECT x AS uri FROM fwd
+            INTERSECT
+            SELECT x AS uri FROM bwd
+        """,
         "docs_exact_dedup": """
             SELECT sha256(text) AS text_sha, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_copies
@@ -581,13 +698,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST({simhash_bits} AS INTEGER) AS simhash
             FROM h GROUP BY doc_id
         """,
+        "docs_minhash_banded_pairs": _banded_oracle_sql(),
+        "emb_ann_candidates": _ann_oracle_sql(),
         "docs_ngram_jaccard": """
-            WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
-            sh AS (
+            WITH sh0 AS (
                 SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, greatest(length(text)-4,1)+1),
                               i -> substr(text, i::INT, 5))) AS sh
-                FROM d
+                FROM documents
+            ), rare AS (
+                SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 64
+            ), sh AS (
+                SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)
             ), sz AS (
                 SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
             ), co AS (
@@ -615,15 +737,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_type_counts": """
             SELECT * FROM (VALUES
-                ('code:SourceLocation', CAST(184 AS BIGINT)),
-                ('code:CallExpression', CAST(42 AS BIGINT)),
-                ('code:Function', CAST(41 AS BIGINT)),
-                ('code:Parameter', CAST(23 AS BIGINT)),
-                ('code:Export', CAST(22 AS BIGINT)),
-                ('code:Module', CAST(15 AS BIGINT)),
+                ('code:SourceLocation', CAST(204 AS BIGINT)),
+                ('code:CallExpression', CAST(43 AS BIGINT)),
+                ('code:Function', CAST(43 AS BIGINT)),
+                ('code:Parameter', CAST(27 AS BIGINT)),
+                ('code:Export', CAST(26 AS BIGINT)),
+                ('code:Module', CAST(16 AS BIGINT)),
                 ('code:Import', CAST(13 AS BIGINT)),
-                ('code:Class', CAST(5 AS BIGINT))
+                ('code:Class', CAST(5 AS BIGINT)),
+                ('code:Interface', CAST(4 AS BIGINT))
             ) AS t(entity_type, n)
+        """,
+        "kg_ts_interfaces": """
+            SELECT * FROM (VALUES
+                ('http://codebase.local/types.ts#interface_User_1', 'User'),
+                ('http://codebase.local/types.ts#interface_InternalConfig_7', 'InternalConfig'),
+                ('http://codebase.local/types.ts#interface_UserId_11', 'UserId'),
+                ('http://codebase.local/types.ts#interface_Pair_13', 'Pair')
+            ) AS t(uri, name)
         """,
         "kg_simple5_functions": """
             SELECT * FROM (VALUES ('add'), ('subtract'), ('multiply'),

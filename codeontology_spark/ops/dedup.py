@@ -70,11 +70,72 @@ def minhash_near_dup_pairs(docs: DataFrame, k: int = K_HASHES, width: int = SHIN
     return a.join(b, "sig").filter(F.col("a") < F.col("b")).select("a", "b", "sig")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, width: int = SHINGLE, threshold: float = 0.5) -> DataFrame:
+def minhash_wide_signatures(docs: DataFrame, k: int = 16, width: int = SHINGLE) -> DataFrame:
+    """k ≤ 16 minhash values as separate columns mh0..mh{k-1}. Hash family
+    i = the (i%4)-th 8-hex slice of md5(prefix_i ∥ shingle) with one of four
+    prefixes — 4 md5 calls per shingle for 16 families (md5 dominates the
+    cost at 10⁷+ shingles). Min of a fixed-width hex slice equals the
+    numeric min, so the DuckDB oracle mirrors it byte-for-byte; the groupBy
+    is map-side combinable (partial min)."""
+    assert k <= 16
+    sh = shingles(docs, width)
+    prefixes = ["", "x", "y", "z"]
+    hs = [F.md5(F.concat(F.lit(p), F.col("sh"))) if p else F.md5(F.col("sh")) for p in prefixes]
+    aggs = [
+        F.min(F.substring(hs[i // 4], (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_banded_pairs(
+    docs: DataFrame, bands: int = 4, rows_per_band: int = 4, width: int = SHINGLE
+) -> DataFrame:
+    """Banded MinHash LSH: b bands × r rows over b·r hash families. A pair
+    is a candidate if it agrees on ALL r rows of ANY band — the standard
+    recall/precision knob (P[candidate] = 1-(1-J^r)^b) that single-band
+    minhash lacks. Plan: per band, a self-equi-join on the short
+    (band_id, band signature) key — b hash shuffles on tiny keys, no
+    all-pairs work; the unioned band joins dedup on (a, b)."""
+    k = bands * rows_per_band
+    sig = minhash_wide_signatures(docs, k, width)
+    out = None
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        banded = sig.select("doc_id", F.concat(*cols).alias("bsig"))
+        a = banded.select(F.col("doc_id").alias("a"), "bsig")
+        b = banded.select(F.col("doc_id").alias("b"), "bsig")
+        pairs = (
+            a.join(b, "bsig")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit(bnd).alias("band"))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.groupBy("a", "b").agg(
+        F.count("*").alias("n_bands"), F.min("band").alias("first_band")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    width: int = SHINGLE,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
     """Jaccard over distinct char shingles via a sparse similarity join:
     pairs sharing ≥1 shingle, |A∩B| counted by the join, |A|,|B| from
-    per-doc distinct counts. Returns pairs with jaccard ≥ threshold."""
+    per-doc distinct counts. Returns pairs with jaccard ≥ threshold.
+
+    `max_df` caps hot-shingle fan-out: shingles appearing in more than
+    max_df documents are dropped BEFORE sizes and the pair join (stopword
+    shingles carry no near-dup signal but each contributes df² join rows —
+    unbounded at corpus scale). Jaccard is then over the filtered shingle
+    sets — a documented semantic the SQL oracle mirrors exactly; the join
+    output is bounded by max_df · |shingle rows|."""
     sh = shingles(docs, width).distinct()
+    if max_df is not None:
+        dfc = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(dfc.filter(F.col("df") <= max_df).select("sh"), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")

@@ -52,32 +52,86 @@ def pairwise_label_centroids(emb: DataFrame) -> DataFrame:
     return counts.join(dim0, "label").select("label", "n", "dim0_mean")
 
 
-def lsh_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector: bit i = sign(v · p_i) with
-    deterministic pseudo-random planes p_i[j] = (md5-derived in [-1, 1]).
-    Candidate pairs then come from a groupBy on the bucket key — the scale
-    path for ANN (brute force stays the correctness baseline)."""
+def plane_values(i: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane i: component j is md5-derived
+    in [-1, 1] — reproducible on both the Spark and the SQL-oracle side."""
     import hashlib
 
-    def plane(i: int) -> list[float]:
-        out = []
-        for j in range(dim):
-            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
-            out.append((h / 0x7FFFFFFF) - 1.0)
-        return out
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+        out.append((h / 0x7FFFFFFF) - 1.0)
+    return out
 
+
+def embedding_dim(emb: DataFrame) -> int:
+    """Derive the embedding dimension from the data and fail fast on ragged
+    input. Without this, a dim mismatch makes zip_with pad with nulls, the
+    dot goes null, `when(null >= 0)` routes every vector to one bucket, and
+    the candidate join silently degenerates to an O(n²) cross join."""
+    row = emb.select(
+        F.min(F.size("embedding")).alias("lo"), F.max(F.size("embedding")).alias("hi")
+    ).first()
+    if row["lo"] is None:
+        raise ValueError("embedding column is empty")
+    if row["lo"] != row["hi"]:
+        raise ValueError(f"ragged embedding dims: min={row['lo']} max={row['hi']}")
+    return int(row["lo"])
+
+
+def planes_for_corpus(n_rows: int, target_bucket: int = 64, lo: int = 4, hi: int = 24) -> int:
+    """Scale the number of hyperplanes with corpus size so the *expected*
+    bucket holds ~target_bucket vectors: 2^planes ≈ n/target. At 10⁹
+    vectors that is ~24 planes / 16M buckets instead of a fixed 256."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def lsh_hyperplane_buckets(
+    emb: DataFrame, n_planes: int | None = None, dim: int | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit i = sign(v · p_i).
+    Candidate pairs then come from a join on the bucket key — the scale
+    path for ANN (brute force stays the correctness baseline)."""
+    if dim is None:
+        dim = embedding_dim(emb)
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb.count())
     v = F.col("embedding").cast("array<double>")
     bits = []
     for i in range(n_planes):
-        p = F.array(*[F.lit(x) for x in plane(i)])
+        p = F.array(*[F.lit(x) for x in plane_values(i, dim)])
         bits.append(F.when(_dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
 
 
-def ann_bucket_candidates(emb: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
+def ann_bucket_candidates(
+    emb: DataFrame,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    max_bucket: int = 32,
+) -> DataFrame:
     """Candidate pairs sharing an LSH bucket (a < b), with exact cosine
-    re-ranking on the candidates only."""
+    re-ranking on the candidates only.
+
+    Hot buckets are capped: a deterministic row_number over (bucket, vec_id)
+    keeps the first `max_bucket` vectors per bucket, bounding the
+    within-bucket self-join at max_bucket·(max_bucket−1)/2 pairs no matter
+    how skewed the corpus — the standard recall-for-boundedness trade; at
+    scale, planes_for_corpus already sizes the expected bucket below the
+    cap, so the cap only trims pathological hot spots."""
+    from pyspark.sql import Window
+
     b = lsh_hyperplane_buckets(emb, n_planes, dim)
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    b = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
     withv = b.join(emb.select("vec_id", "embedding"), "vec_id")
     a = withv.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket")
     c = withv.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket")
