@@ -405,6 +405,29 @@ def _q_emb_ann_candidates(spark, sf):
     )
 
 
+def _q_emb_ann_multiprobe(spark, sf):
+    """Multi-probe LSH: home bucket + 4 Hamming-distance-1 probes per
+    vector — the recall knob that avoids squaring the bucket count."""
+    from codeontology_spark.ops.similarity import ann_multiprobe_candidates
+
+    emb = _read(spark, sf, "embeddings")
+    return ann_multiprobe_candidates(
+        emb, n_planes=_ANN_PLANES, max_bucket=_ANN_MAX_BUCKET, n_probes=4
+    )
+
+
+def _q_emb_ivf_topk(spark, sf):
+    """IVF-style ANN: label cells as the coarse quantizer; probe the 3
+    nearest cells by centroid cosine, brute-force only those."""
+    from codeontology_spark.ops.similarity import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    qvec = (
+        emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    )
+    return ivf_topk(emb, list(qvec), n_probe=3, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families over the star schema
@@ -444,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_circular_modules": _q_kg_circular_modules,
         "kg_blob_hashes": _q_kg_blob_hashes,
         "emb_ann_candidates": _q_emb_ann_candidates,
+        "emb_ann_multiprobe": _q_emb_ann_multiprobe,
+        "emb_ivf_topk": _q_emb_ivf_topk,
     }
 
 
@@ -491,6 +516,49 @@ def _ann_oracle_sql() -> str:
                                             y.embedding::DOUBLE[]), 4) AS cos_sim
         FROM capped x JOIN capped y
           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """
+
+
+def _ann_multiprobe_oracle_sql(n_probes: int = 4) -> str:
+    """SQL twin of ann_multiprobe_candidates: home bucket + first-n-bits
+    Hamming-1 probes, joined probe → home over the capped membership."""
+
+    def plane(i: int) -> str:
+        return (
+            "list_transform(range(0, length(embedding)), j -> "
+            f"(('0x' || substr(md5(concat({i}::VARCHAR, ':', j::VARCHAR)), 1, 8))::BIGINT"
+            " / 2147483647.0) - 1.0)"
+        )
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane(i)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for i in range(_ANN_PLANES)
+    )
+    flips = "\nUNION ALL\n".join(
+        "SELECT vec_id, embedding,"
+        f" substr(bucket, 1, {i - 1}) ||"
+        f" (CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) ||"
+        f" substr(bucket, {i + 1}) AS probe FROM capped"
+        for i in range(1, n_probes + 1)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+        ), capped AS (
+            SELECT vec_id, embedding, bucket FROM b
+            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+                    <= {_ANN_MAX_BUCKET}
+        ), probes AS (
+            SELECT vec_id, embedding, bucket AS probe FROM capped
+            UNION ALL
+            {flips}
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM probes x JOIN capped y
+          ON x.probe = y.bucket AND x.vec_id < y.vec_id
     """
 
 
@@ -700,6 +768,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_minhash_banded_pairs": _banded_oracle_sql(),
         "emb_ann_candidates": _ann_oracle_sql(),
+        "emb_ann_multiprobe": _ann_multiprobe_oracle_sql(),
+        "emb_ivf_topk": """
+            WITH d AS (SELECT length(embedding) AS n FROM embeddings LIMIT 1),
+            dims AS (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i),
+            cent AS (
+                SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
+                FROM embeddings, dims GROUP BY label, i
+            ), cvec AS (
+                SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+            ), q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+            probe AS (
+                SELECT cvec.label FROM cvec, q
+                ORDER BY list_cosine_similarity(centroid, q.embedding::DOUBLE[]) DESC,
+                         cvec.label
+                LIMIT 3
+            )
+            SELECT e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.label IN (SELECT label FROM probe)
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
         "docs_ngram_jaccard": """
             WITH sh0 AS (
                 SELECT DISTINCT doc_id,

@@ -108,6 +108,87 @@ def lsh_hyperplane_buckets(
     return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
 
 
+def ann_multiprobe_candidates(
+    emb: DataFrame,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    max_bucket: int = 32,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH candidates: each vector probes its home bucket plus
+    the `n_probes` buckets at Hamming distance 1 (first n_probes bits
+    flipped), recovering near neighbors that a single sign flip pushed
+    into an adjacent bucket — the standard recall knob that avoids adding
+    planes (which would square the bucket count). Plan: explode the probe
+    list (n_probes+1 short strings per row) and hash-join probe → home; a
+    distance-d pair matches exactly one probe, so no dedup shuffle is
+    needed beyond the aggregate. Hot buckets capped like
+    ann_bucket_candidates."""
+    from pyspark.sql import Window
+
+    b = lsh_hyperplane_buckets(emb, n_planes, dim)
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    b = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    probes = [F.col("bucket")]
+    for i in range(1, n_probes + 1):
+        flipped = F.concat(
+            F.substring("bucket", 1, i - 1),
+            F.when(F.substring("bucket", i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.expr(f"substring(bucket, {i + 1})"),
+        )
+        probes.append(flipped)
+    withv = b.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        F.explode(F.array(*probes)).alias("probe"),
+    )
+    c = withv.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = a.join(c, "probe").filter(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(
+            cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")), 4
+        ).alias("cos_sim"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], n_probe: int = 3, k: int = 10
+) -> DataFrame:
+    """IVF-style ANN: coarse cells = the label column (at 10⁹-vector scale
+    the cells come from k-means; the assign/probe/search plan is
+    identical), cell centroids = per-(label, dim) mean via posexplode (one
+    map-side-combinable shuffle on (label, pos)); the query probes the
+    n_probe nearest cells by centroid cosine, then brute-forces only those
+    cells — scanning n_probe/n_cells of the corpus instead of all of it.
+    The centroid table is tiny (cells × dim) and collects to the driver
+    like the query vector itself."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    per_dim = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+    cent = (
+        per_dim.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("centroid"))
+    )
+    ranked = (
+        cent.select("label", cosine(F.col("centroid"), q).alias("cent_sim"))
+        .orderBy(F.desc("cent_sim"), "label")
+        .limit(n_probe)
+    )
+    probe_labels = [r["label"] for r in ranked.collect()]
+    cells = emb.filter(F.col("label").isin(probe_labels))
+    return cosine_topk(cells, query_vec, k)
+
+
 def ann_bucket_candidates(
     emb: DataFrame,
     n_planes: int | None = None,

@@ -267,3 +267,44 @@ def test_update_entity_prop_unknown_subject_is_noop(spark, built):
         res.triples, "http://nope.local/x#f_1", "code:hasName", "zz", repo="fixture/simple5"
     )
     assert out2.count() == before + 1
+
+
+def test_ann_multiprobe_supersets_single_bucket(spark):
+    """Hamming-1 probes must recover every single-bucket pair plus
+    adjacent-bucket near misses; bucket caps bound the fan-out."""
+    from codeontology_spark.ops.similarity import (
+        ann_bucket_candidates,
+        ann_multiprobe_candidates,
+        embedding_dim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert embedding_dim(emb) == 64
+    single = {(r.a, r.b) for r in ann_bucket_candidates(emb, n_planes=6).collect()}
+    multi = {(r.a, r.b) for r in
+             ann_multiprobe_candidates(emb, n_planes=6, n_probes=3).collect()}
+    assert single <= multi
+    assert len(multi) > len(single)
+
+
+def test_ann_fails_fast_on_ragged_embeddings(spark):
+    from codeontology_spark.ops.similarity import embedding_dim
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        embedding_dim(bad)
+
+
+def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
+    """With n_probe >= n_cells IVF degenerates to exact search."""
+    from codeontology_spark.ops.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"])
+    exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(emb, q, k=5).collect()]
+    ivf_all = [(r.vec_id, r.cos_sim) for r in ivf_topk(emb, q, n_probe=100, k=5).collect()]
+    assert exact == ivf_all
