@@ -101,6 +101,17 @@ def update_entity_prop(
     return kept.unionByName(new)
 
 
+def update_entity_props_batch(triples: DataFrame, updates: DataFrame) -> DataFrame:
+    """C1 at scale: apply many property updates in ONE plan instead of a
+    per-row loop — an anti-join deletes every (repo, subj, pred) being
+    rewritten, then the new rows union in. updates columns: (repo, subj,
+    pred, obj, is_uri, dtype). Unknown subjects simply insert (the caller
+    decides membership); at table scale this is the MERGE shape."""
+    keys = updates.select("repo", "subj", "pred").distinct()
+    kept = triples.join(keys, ["repo", "subj", "pred"], "left_anti")
+    return kept.unionByName(updates.select(*triples.columns))
+
+
 def impacted_dependents(triples: DataFrame, changed_paths: DataFrame) -> DataFrame:
     """C5 (incremental_updater.py:374-405): modules importing a changed
     module. changed_paths: (repo, path). Returns (repo, module_uri) of
@@ -168,5 +179,54 @@ def stream_updates(
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def stream_change_rates(
+    spark,
+    input_path: str,
+    checkpoint_dir: str,
+    window_seconds: int = 10,
+    watermark_seconds: int = 30,
+    query_name: str = "change_rates",
+):
+    """Streaming change-rate rollup: events-per-repo per event-time window
+    with a watermark bounding late-data state — the Structured-Streaming
+    shape for the reference's monitoring counters
+    (incremental_updater.py:407-430 keeps per-path update tallies in a
+    dict; here the same rollup is an incremental windowed aggregate whose
+    state is bounded by the watermark, so it survives unbounded streams).
+    Emits (window, repo, event_type, n) to an in-memory sink in update
+    mode; returns the StreamingQuery."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_path)
+    agg = (
+        stream.withWatermark("ts", f"{watermark_seconds} seconds")
+        .groupBy(
+            F.window("ts", f"{window_seconds} seconds"),
+            "repo",
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
         .start()
     )

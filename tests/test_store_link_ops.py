@@ -308,3 +308,29 @@ def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
     exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(emb, q, k=5).collect()]
     ivf_all = [(r.vec_id, r.cos_sim) for r in ivf_topk(emb, q, n_probe=100, k=5).collect()]
     assert exact == ivf_all
+
+
+def test_update_entity_props_batch(spark, built):
+    """C1 batched path: many property rewrites in one anti-join ∪ union."""
+    from codeontology_spark.incremental import update_entity_props_batch
+
+    _, res = built
+    u1 = "http://codebase.local/simple.js#function_add_4"
+    u2 = "http://codebase.local/simple.js#function_subtract_8"
+    updates = spark.createDataFrame(
+        [
+            ("fixture/simple5", u1, "code:hasName", "addRenamed", False, "string"),
+            ("fixture/simple5", u2, "code:hasName", "subRenamed", False, "string"),
+        ],
+        "repo string, subj string, pred string, obj string, is_uri boolean, dtype string",
+    )
+    out = update_entity_props_batch(res.triples, updates)
+    names = {
+        r.subj: r.obj
+        for r in out.filter(
+            (F.col("pred") == "code:hasName") & F.col("subj").isin([u1, u2])
+        ).collect()
+    }
+    assert names == {u1: "addRenamed", u2: "subRenamed"}
+    # one row each (old values anti-joined out), total count unchanged
+    assert out.count() == res.triples.count()

@@ -49,3 +49,39 @@ def test_stream_updates_end_to_end(spark, tmp_path):
     # latest-wins: the ts=00:00:01 version of a.js supersedes the stale one
     assert "fresh" in names and "other" in names
     assert "stale" not in names
+
+
+def test_stream_change_rates_watermarked_window(spark, tmp_path):
+    """Watermarked event-time windowed aggregate: counts land in the right
+    window per (repo, event_type); state is bounded by the watermark."""
+    from codeontology_spark.incremental import stream_change_rates
+
+    inbox = tmp_path / "inbox2"
+    ckpt = tmp_path / "ckpt2"
+    inbox.mkdir()
+    events = [
+        {"repo": "r1", "path": "a.js", "ts": "2026-01-01T00:00:01", "event_type": "updated"},
+        {"repo": "r1", "path": "b.js", "ts": "2026-01-01T00:00:03", "event_type": "updated"},
+        {"repo": "r1", "path": "c.js", "ts": "2026-01-01T00:00:12", "event_type": "deleted"},
+        {"repo": "r2", "path": "d.js", "ts": "2026-01-01T00:00:04", "event_type": "updated"},
+    ]
+    (inbox / "b1.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    q = stream_change_rates(spark, str(inbox), str(ckpt), window_seconds=10,
+                            query_name="rates_test")
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rates_test").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = {(r.window.start.isoformat(), r.repo, r.event_type, r.n) for r in rows}
+    assert ("2026-01-01T00:00:00", "r1", "updated", 2) in got
+    assert ("2026-01-01T00:00:10", "r1", "deleted", 1) in got
+    assert ("2026-01-01T00:00:00", "r2", "updated", 1) in got
