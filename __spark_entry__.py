@@ -69,10 +69,12 @@ def _kg_triples(spark: SparkSession) -> DataFrame:
     key = id(spark)
     if key not in _KG_CACHE:
         from codeontology_spark.pipeline import build_graph
-        from codeontology_spark.synth import fixture_table
+        from codeontology_spark.synth import fixture_table_parquet
 
         _ship_pkg(spark)
-        src = fixture_table(spark).coalesce(1)
+        # parquet round-trip: a createDataFrame input would chain a second
+        # Python worker into the extraction task (~10x slower; synth.py)
+        src = fixture_table_parquet(spark)
         triples = build_graph(src, persist=True).triples.persist()
         triples.count()
         _KG_CACHE[key] = triples
@@ -376,10 +378,10 @@ def _q_kg_circular_modules(spark, sf):
 def _q_kg_blob_hashes(spark, sf):
     """A14 span/blob operator on the simple5 fixture (deterministic)."""
     from codeontology_spark.spans import span_triples
-    from codeontology_spark.synth import fixture_table
+    from codeontology_spark.synth import fixture_table_parquet
 
     _ship_pkg(spark)
-    src = fixture_table(spark, ["simple5"]).coalesce(1)
+    src = fixture_table_parquet(spark, ["simple5"])
     t = span_triples(src)
     return (
         t.filter(F.col("pred") == "code:contentHash")

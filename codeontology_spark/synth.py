@@ -40,6 +40,32 @@ def fixture_table(spark: SparkSession, fixture_names: list[str] | None = None) -
     return spark.createDataFrame(fixture_rows(fixture_names), schema=INPUT_SCHEMA)
 
 
+_PARQUET_CACHE: dict[tuple, str] = {}
+
+
+def fixture_table_parquet(
+    spark: SparkSession, fixture_names: list[str] | None = None
+) -> DataFrame:
+    """fixture_table materialized through a parquet round-trip.
+
+    createDataFrame ships local rows through a Python RDD stage; chaining
+    that straight into the extraction UDF runs TWO Python workers per task
+    (pickle → JVM → Arrow), which thrashes at high core counts — measured
+    ~10 s to extract 17 tiny files at local[32] vs ~1 s through parquet,
+    where the scan is JVM-side and extraction is a single Python stage.
+    The written table is cached per (process, fixture set)."""
+    key = tuple(sorted(fixture_names or FIXTURES))
+    if key not in _PARQUET_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="fixture_tbl_")
+        fixture_table(spark, fixture_names).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/src"
+        )
+        _PARQUET_CACHE[key] = f"{d}/src"
+    return spark.read.parquet(_PARQUET_CACHE[key])
+
+
 def synth_table(
     spark: SparkSession,
     n_repos: int = 100,

@@ -7,12 +7,12 @@ from pyspark.sql import functions as F
 from codeontology_spark import nlq
 from codeontology_spark import queries as Q
 from codeontology_spark.pipeline import build_graph
-from codeontology_spark.synth import fixture_table
+from codeontology_spark.synth import fixture_table_parquet
 
 
 @pytest.fixture(scope="module")
 def triples(spark):
-    res = build_graph(fixture_table(spark).coalesce(1), persist=True)
+    res = build_graph(fixture_table_parquet(spark), persist=True)
     t = res.triples.cache()
     t.count()
     yield t

@@ -116,21 +116,34 @@ def _collect_by_repo(triples_df) -> dict[str, list[tuple]]:
     return out
 
 
+_SRC_PARQUET: list[str] = []
+
+
 def _source_table(spark):
+    """Corpus table via a parquet round-trip: a createDataFrame input would
+    chain a second Python worker into the extraction task (synth.py note)."""
+    import tempfile
+
     from codeontology_spark.schemas import INPUT_SCHEMA
 
-    rows = []
-    for repo, files in _corpora().items():
-        for path, content in files.items():
-            rows.append((repo, path, "c0ffee", "javascript", content))
-    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    if not _SRC_PARQUET:
+        rows = []
+        for repo, files in _corpora().items():
+            for path, content in files.items():
+                rows.append((repo, path, "c0ffee", "javascript", content))
+        d = tempfile.mkdtemp(prefix="gt_src_")
+        spark.createDataFrame(rows, schema=INPUT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/src")
+        _SRC_PARQUET.append(f"{d}/src")
+    return spark.read.parquet(_SRC_PARQUET[0])
 
 
 @pytest.fixture(scope="module")
 def engine_triples(spark):
     from codeontology_spark.pipeline import build_graph
 
-    res = build_graph(_source_table(spark).coalesce(1), persist=True)
+    res = build_graph(_source_table(spark), persist=True)
     by_repo = _collect_by_repo(res.triples)
     res.unpersist()
     return by_repo
@@ -140,7 +153,7 @@ def engine_triples(spark):
 def engine_fallback_triples(spark):
     from codeontology_spark.pipeline import build_graph
 
-    res = build_graph(_source_table(spark).coalesce(1), persist=True, mode="fallback")
+    res = build_graph(_source_table(spark), persist=True, mode="fallback")
     by_repo = _collect_by_repo(res.triples)
     res.unpersist()
     return by_repo

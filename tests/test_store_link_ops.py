@@ -20,12 +20,12 @@ from codeontology_spark.ops.multimodal import extract_features, frame_sample_pla
 from codeontology_spark.pipeline import build_graph
 from codeontology_spark.schemas import INPUT_SCHEMA
 from codeontology_spark.store import read_triples, resume_pending, write_file_lineage, write_triples
-from codeontology_spark.synth import fixture_table
+from codeontology_spark.synth import fixture_table_parquet
 
 
 @pytest.fixture(scope="module")
 def built(spark):
-    src = fixture_table(spark, ["imports2", "circular2", "simple5"]).coalesce(1)
+    src = fixture_table_parquet(spark, ["imports2", "circular2", "simple5"])
     res = build_graph(src, persist=True)
     res.triples = res.triples.cache()
     yield src, res
@@ -204,7 +204,7 @@ def test_span_triples(spark):
     from codeontology_spark.fixtures import FIXTURES
     from codeontology_spark.spans import span_triples
 
-    src = fixture_table(spark, ["simple5"]).coalesce(1)
+    src = fixture_table_parquet(spark, ["simple5"])
     t = span_triples(src)
     rows = t.collect()
     content = FIXTURES["simple5"]["simple.js"]

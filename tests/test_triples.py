@@ -10,14 +10,14 @@ from codeontology_spark.compare import canonicalize, diff, precision_recall
 from codeontology_spark.fixtures import FIXTURES
 from codeontology_spark.jsparse import extract_file
 from codeontology_spark.pipeline import build_graph, graph_stats, verify_content_invariant
-from codeontology_spark.synth import fixture_table
+from codeontology_spark.synth import fixture_table_parquet
 
 from oracle_emit import oracle_triples
 
 
 @pytest.fixture(scope="module")
 def built(spark):
-    src = fixture_table(spark).coalesce(1)
+    src = fixture_table_parquet(spark)
     res = build_graph(src, apply_filters=True, persist=True)
     res.triples = res.triples.cache()
     yield src, res
