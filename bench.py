@@ -118,12 +118,17 @@ def main() -> None:
         "cc_components",
         "kg_entity_type_counts",
     ]
+    # two passes, best per query: co-tenant noise inflates single trials
+    # 2-5x in bad windows (BENCH/BASELINE.md caveat 1)
+    for _pass in range(2):
+        for name in headline:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            took = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, took), took)
     for name in headline:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        print(f"[bench] {name}: {timings[name]}s (best of 2)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
