@@ -334,3 +334,21 @@ def test_update_entity_props_batch(spark, built):
     assert names == {u1: "addRenamed", u2: "subRenamed"}
     # one row each (old values anti-joined out), total count unchanged
     assert out.count() == res.triples.count()
+
+
+def test_predicate_scan_is_partition_pruned(spark, built, tmp_path):
+    """A17/B-query contract: a pred-filtered read of the triple store must
+    prune to that predicate's directory (PartitionFilters in the scan), so
+    every template query touches one partition, not the table."""
+    import contextlib
+    import io
+
+    _, res = built
+    base = str(tmp_path / "pruned")
+    write_triples(res.triples, base)
+    back = read_triples(spark, base).filter(F.col("pred") == "code:calls")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "code:calls" in plan, plan[:2000]
