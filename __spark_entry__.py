@@ -309,6 +309,12 @@ def _q_docs_minhash_banded_pairs(spark, sf):
     return D.minhash_banded_pairs(_read(spark, sf, "documents"))
 
 
+def _q_docs_clean_corpus(spark, sf):
+    """Composite cleaning pipeline: quality gate → language gate → exact
+    dedup, as one fused plan (the realistic pretraining-corpus pass)."""
+    return TX.clean_corpus(_read(spark, sf, "documents"))
+
+
 def _q_emb_knn(spark, sf):
     emb = _read(spark, sf, "embeddings")
     qvec = (
@@ -459,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_banded_pairs": _q_docs_minhash_banded_pairs,
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_clean_corpus": _q_docs_clean_corpus,
         "emb_knn": _q_emb_knn,
         "emb_label_centroids": _q_emb_label_centroids,
         # KG pipeline (deterministic fixture corpus → VALUES oracles)
@@ -565,12 +572,10 @@ def _ann_multiprobe_oracle_sql(n_probes: int = 4) -> str:
 
 
 def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
-    prefixes = ["", "x", "y", "z"]
 
     def mh(i: int) -> str:
-        p = prefixes[i // 4]
-        arg = f"'{p}' || sh" if p else "sh"
-        return f"min(substr(md5({arg}), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        arg = "sh" if i < 8 else "'x' || sh"
+        return f"min(substr(sha256({arg}), {(i % 8) * 8 + 1}, 8)) AS mh{i}"
 
     k = bands * rows_per_band
     mins = ", ".join(mh(i) for i in range(k))
@@ -594,8 +599,7 @@ def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
 
 def oracle_sql() -> dict[str, str]:
     mh_mins = " || ".join(
-        f"min(substr(md5({'sh' if i < 4 else chr(39) + 'x' + chr(39) + ' || sh'}), {(i % 4) * 8 + 1}, 8))"
-        for i in range(8)
+        f"min(substr(sha256(sh), {i * 8 + 1}, 8))" for i in range(8)
     )
     simhash_bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
@@ -769,6 +773,27 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY doc_id
         """,
         "docs_minhash_banded_pairs": _banded_oracle_sql(),
+        "docs_clean_corpus": f"""
+            WITH gated AS (
+                SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
+                FROM documents
+                WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1) >= 0.6
+                  AND length(text) >= 64
+                  AND length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '' AND x IN ({_STOP_EN})))
+                      >= length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '' AND x IN ({_STOP_DE})))
+                  AND length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '' AND x IN ({_STOP_EN})))
+                      >= length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '' AND x IN ({_STOP_FR})))
+            ), canon AS (
+                SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+            )
+            SELECT g.doc_id, g.n_chars, 'en' AS lang_guess
+            FROM gated g JOIN canon USING (doc_id)
+        """,
         "emb_ann_candidates": _ann_oracle_sql(),
         "emb_ann_multiprobe": _ann_multiprobe_oracle_sql(),
         "emb_ivf_topk": """

@@ -38,22 +38,20 @@ def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE) -> DataFrame:
-    """One-band MinHash: k md5-derived hash families, min per doc.
+    """One-band MinHash: k hash families from ONE sha256 per shingle.
 
-    Hash family i = the i-th 8-hex slice of md5(shingle) (i < 4) or of
-    md5('x' || shingle) (i ≥ 4) — 2 md5 calls per shingle instead of k
-    (md5 dominates the cost at 10^7+ shingles). Min of a fixed-width hex
-    slice equals the numeric min, so no int conversion is needed and the
-    DuckDB oracle reproduces it byte-for-byte. The groupBy is map-side
-    combinable (partial min).
+    Hash family i = the i-th 8-hex slice of sha256(shingle) — 64 hex chars
+    give 8 independent families from a single digest (hashing dominates the
+    cost at 10^7+ shingles; round 1 paid 2 md5 calls for the same 8
+    families). Min of a fixed-width hex slice equals the numeric min, so no
+    int conversion is needed and the DuckDB oracle reproduces it
+    byte-for-byte. The groupBy is map-side combinable (partial min).
     """
     assert k <= 8
     sh = shingles(docs, width)
-    h0 = F.md5(F.col("sh"))
-    h1 = F.md5(F.concat(F.lit("x"), F.col("sh")))
+    h0 = F.sha2(F.col("sh"), 256)
     aggs = [
-        F.min(F.substring(h0 if i < 4 else h1, (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
-        for i in range(k)
+        F.min(F.substring(h0, i * 8 + 1, 8)).alias(f"mh{i}") for i in range(k)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
@@ -72,17 +70,17 @@ def minhash_near_dup_pairs(docs: DataFrame, k: int = K_HASHES, width: int = SHIN
 
 def minhash_wide_signatures(docs: DataFrame, k: int = 16, width: int = SHINGLE) -> DataFrame:
     """k ≤ 16 minhash values as separate columns mh0..mh{k-1}. Hash family
-    i = the (i%4)-th 8-hex slice of md5(prefix_i ∥ shingle) with one of four
-    prefixes — 4 md5 calls per shingle for 16 families (md5 dominates the
-    cost at 10⁷+ shingles). Min of a fixed-width hex slice equals the
-    numeric min, so the DuckDB oracle mirrors it byte-for-byte; the groupBy
-    is map-side combinable (partial min)."""
+    i = the (i%8)-th 8-hex slice of sha256(shingle) (i < 8) or of
+    sha256('x' ∥ shingle) — 2 digests per shingle for 16 families (round 1
+    used 4 md5 calls; hashing dominates at 10⁷+ shingles). Min of a
+    fixed-width hex slice equals the numeric min, so the DuckDB oracle
+    mirrors it byte-for-byte; the groupBy is map-side combinable."""
     assert k <= 16
     sh = shingles(docs, width)
-    prefixes = ["", "x", "y", "z"]
-    hs = [F.md5(F.concat(F.lit(p), F.col("sh"))) if p else F.md5(F.col("sh")) for p in prefixes]
+    h0 = F.sha2(F.col("sh"), 256)
+    h1 = F.sha2(F.concat(F.lit("x"), F.col("sh")), 256)
     aggs = [
-        F.min(F.substring(hs[i // 4], (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
+        F.min(F.substring(h0 if i < 8 else h1, (i % 8) * 8 + 1, 8)).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)

@@ -78,3 +78,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 16).alias("fp"),
     )
+
+
+def clean_corpus(docs: DataFrame, min_alpha: float = 0.6, min_len: int = 64) -> DataFrame:
+    """Composite training-data cleaning pipeline — the shape a pretraining
+    corpus pass actually runs, as ONE declarative plan Catalyst can fuse:
+
+      1. quality gate: alpha ratio ≥ min_alpha AND length ≥ min_len
+         (pure codegen predicates, pushed to the scan),
+      2. language gate: stopword-vote English,
+      3. exact dedup: keep the min-doc_id canonical per identical text
+         (one hash shuffle on sha256(text)).
+
+    Returns (doc_id, n_chars, lang_guess) for the surviving documents.
+    At 100 TB the only shuffle is the dedup groupBy on the 64-hex key;
+    gates 1-2 run map-side and prune before it."""
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    toks = tokens_col(F.lower(F.col("text")))
+
+    def _hit(ws):
+        return F.size(F.filter(toks, lambda x: x.isin(ws)))
+
+    hits = {lang: _hit(ws) for lang, ws in STOPWORDS.items()}
+    is_en = (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
+    gated = docs.filter(
+        (alpha / F.greatest(F.length("text"), F.lit(1)) >= min_alpha)
+        & (F.length("text") >= min_len)
+        & is_en
+    )
+    canon = (
+        gated.groupBy(F.sha2(F.col("text"), 256).alias("_sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        gated.join(canon, "doc_id", "left_semi")
+        .select("doc_id", F.length("text").alias("n_chars"), F.lit("en").alias("lang_guess"))
+    )
