@@ -309,6 +309,12 @@ def _q_docs_minhash_banded_pairs(spark, sf):
     return D.minhash_banded_pairs(_read(spark, sf, "documents"))
 
 
+def _q_docs_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: pigeonhole Hamming-band joins + exact
+    popcount filter (distance <= 2 over the 16-bit simhash)."""
+    return D.simhash_near_dup_pairs(_read(spark, sf, "documents"))
+
+
 def _q_docs_clean_corpus(spark, sf):
     """Composite cleaning pipeline: quality gate → language gate → exact
     dedup, as one fused plan (the realistic pretraining-corpus pass)."""
@@ -464,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_minhash_banded_pairs": _q_docs_minhash_banded_pairs,
         "docs_simhash": _q_docs_simhash,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_clean_corpus": _q_docs_clean_corpus,
         "emb_knn": _q_emb_knn,
@@ -817,6 +824,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE e.label IN (SELECT label FROM probe)
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "docs_simhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM toks
+            ), sim AS (
+                SELECT doc_id, CAST({simhash_bits} AS INTEGER) AS simhash
+                FROM h GROUP BY doc_id
+            ), pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.simhash AS sa, y.simhash AS sb
+                FROM sim x JOIN sim y
+                  ON x.doc_id < y.doc_id AND (
+                        ((x.simhash >> 10) & 63) = ((y.simhash >> 10) & 63)
+                     OR ((x.simhash >> 5) & 31) = ((y.simhash >> 5) & 31)
+                     OR (x.simhash & 31) = (y.simhash & 31))
+            )
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 2
         """,
         "docs_ngram_jaccard": """
             WITH sh0 AS (

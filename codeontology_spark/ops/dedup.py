@@ -177,3 +177,43 @@ def simhash16(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs: candidates from Hamming-band joins, then an
+    exact popcount filter.
+
+    Pigeonhole banding: split the 16-bit simhash into max_hamming+1 bands —
+    any pair within Hamming distance max_hamming agrees exactly on at least
+    one band, so candidate generation is (max_hamming+1) hash equi-joins on
+    short integer keys instead of an all-pairs scan; the exact
+    bit_count(xor) filter then removes band-collision false positives.
+    Returns (a, b, hamming)."""
+    sim = simhash16(docs)
+    n_bands = max_hamming + 1
+    width = 16 // n_bands
+    widths = [16 - width * (n_bands - 1)] + [width] * (n_bands - 1)
+    pairs = None
+    shift = 16
+    for bnd, w in enumerate(widths):
+        shift -= w
+        band_val = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << w) - 1))
+        banded = sim.select("doc_id", "simhash", band_val.alias("bv"))
+        a = banded.select(
+            F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "bv"
+        )
+        b = banded.select(
+            F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "bv"
+        )
+        p = a.join(b, "bv").filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
