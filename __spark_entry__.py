@@ -253,6 +253,17 @@ def _q_closure_chain_endpoints(spark, sf):
     return chain_intermediates(edges, starts, ends).select("uri")
 
 
+def _q_scc_cycle_nodes(spark, sf):
+    """B7 scale plan: distributed SCC (trim + forward/backward min-label
+    coloring) — nodes of the synthetic functional graph lying on a cycle,
+    with frontier-sized state (the recursive-CTE oracle materializes the
+    closure; the Spark side must not)."""
+    from codeontology_spark.queries import cycle_nodes
+
+    edges = _synthetic_edges(spark, sf)
+    return cycle_nodes(edges).select("uri")
+
+
 def _q_docs_exact_dedup(spark, sf):
     return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -295,7 +306,8 @@ def _q_docs_minhash_pairs(spark, sf):
 
 
 def _q_docs_simhash(spark, sf):
-    return D.simhash16(_read(spark, sf, "documents"))
+    """64-bit SimHash as two 32-bit halves (sim_hi, sim_lo)."""
+    return D.simhash64(_read(spark, sf, "documents"))
 
 
 def _q_docs_ngram_jaccard(spark, sf):
@@ -310,8 +322,9 @@ def _q_docs_minhash_banded_pairs(spark, sf):
 
 
 def _q_docs_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs: pigeonhole Hamming-band joins + exact
-    popcount filter (distance <= 2 over the 16-bit simhash)."""
+    """SimHash near-dup pairs: exact-dup pre-collapse, four capped 16-bit
+    pigeonhole band joins over the 64-bit fingerprint, exact popcount
+    filter (distance <= 3)."""
     return D.simhash_near_dup_pairs(_read(spark, sf, "documents"))
 
 
@@ -402,6 +415,31 @@ def _q_kg_blob_hashes(spark, sf):
     )
 
 
+def _q_kg_docstrings(spark, sf):
+    """Docstring/comment triples (code:hasDocstring + hasComment/commentText,
+    ontology_builder.py:117-130 lowering) from a deterministic doc-commented
+    corpus — the reference models these fields but its parser never fills
+    them; the engine extracts leading JSDoc + contiguous comments."""
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.schemas import INPUT_SCHEMA
+
+    _ship_pkg(spark)
+    src_text = (
+        "/**\n * Greets a user politely.\n */\n// returns the name\n"
+        "function greet(name) { return name; }\n\n"
+        "/** Farewell. */\nfunction bye(name) { return name; }\n"
+    )
+    src = spark.createDataFrame(
+        [("fixture/docrepo", "doc.js", "c0ffee", "javascript", src_text)],
+        schema=INPUT_SCHEMA,
+    )
+    t = build_graph(src).triples
+    return (
+        t.filter(F.col("pred").isin("code:hasDocstring", "code:commentText"))
+        .select("pred", F.col("obj").alias("text"))
+    )
+
+
 _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
@@ -431,8 +469,9 @@ def _q_emb_ann_multiprobe(spark, sf):
 
 
 def _q_emb_ivf_topk(spark, sf):
-    """IVF-style ANN: label cells as the coarse quantizer; probe the 3
-    nearest cells by centroid cosine, brute-force only those."""
+    """IVF ANN with a real seeded-k-means coarse quantizer (2 Lloyd
+    rounds, broadcast centroid literals); probe the 3 nearest cells by
+    centroid cosine, brute-force only those."""
     from codeontology_spark.ops.similarity import ivf_topk
 
     emb = _read(spark, sf, "embeddings")
@@ -460,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_nation_chain": _q_closure_nation_chain,
         "closure_chain_endpoints": _q_closure_chain_endpoints,
         "cc_components": _q_cc_components,
+        "scc_cycle_nodes": _q_scc_cycle_nodes,
         # training-data ops: dedup / text analysis / similarity
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
@@ -482,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ts_interfaces": _q_kg_ts_interfaces,
         "kg_circular_modules": _q_kg_circular_modules,
         "kg_blob_hashes": _q_kg_blob_hashes,
+        "kg_docstrings": _q_kg_docstrings,
         "emb_ann_candidates": _q_emb_ann_candidates,
         "emb_ann_multiprobe": _q_emb_ann_multiprobe,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -492,9 +533,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_SHINGLES = (
-    "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-4,1)+1),"
-    " i -> substr(text, i::INT, 5))) AS sh FROM documents"
+def _shingles_sql(src: str = "documents") -> str:
+    return (
+        "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-4,1)+1),"
+        f" i -> substr(text, i::INT, 5))) AS sh FROM {src}"
+    )
+
+
+_SHINGLES = _shingles_sql()
+
+# exact-dup pre-collapse shared by every near-dup pair oracle (mirrors
+# ops.dedup.canonical_docs)
+_CANON = (
+    "canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "
+    "cdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id))"
 )
 
 _STOP_EN = "'the','a','of','and','to','in','is','it'"
@@ -578,7 +630,13 @@ def _ann_multiprobe_oracle_sql(n_probes: int = 4) -> str:
     """
 
 
+_MAX_BUCKET = 64  # ops.dedup.MAX_BUCKET twin
+_SIMHASH_MAX_BUCKET = 256  # ops.dedup.SIMHASH_MAX_BUCKET twin
+
+
 def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
+    """SQL twin of minhash_banded_pairs: exact-dup pre-collapse, per-band
+    QUALIFY hot-bucket cap, band self-joins, (a,b) rollup."""
 
     def mh(i: int) -> str:
         arg = "sh" if i < 8 else "'x' || sh"
@@ -586,17 +644,28 @@ def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
 
     k = bands * rows_per_band
     mins = ", ".join(mh(i) for i in range(k))
+
+    def bsig(bnd: int) -> str:
+        return " || ".join(f"mh{bnd * rows_per_band + r}" for r in range(rows_per_band))
+
+    band_ctes = ", ".join(
+        f"""band{bnd} AS (
+            SELECT doc_id, {bsig(bnd)} AS bsig FROM sig
+            QUALIFY row_number() OVER (PARTITION BY {bsig(bnd)} ORDER BY doc_id)
+                    <= {_MAX_BUCKET}
+        )"""
+        for bnd in range(bands)
+    )
     band_joins = "\nUNION ALL\n".join(
         f"""SELECT x.doc_id AS a, y.doc_id AS b, {bnd} AS band
-            FROM (SELECT doc_id, {' || '.join(f'mh{bnd * rows_per_band + r}' for r in range(rows_per_band))} AS bsig FROM sig) x
-            JOIN (SELECT doc_id, {' || '.join(f'mh{bnd * rows_per_band + r}' for r in range(rows_per_band))} AS bsig FROM sig) y
+            FROM band{bnd} x JOIN band{bnd} y
               ON x.bsig = y.bsig AND x.doc_id < y.doc_id"""
         for bnd in range(bands)
     )
     return f"""
-        WITH sig AS (
-            SELECT doc_id, {mins} FROM ({_SHINGLES}) GROUP BY doc_id
-        ), pairs AS (
+        WITH {_CANON}, sig AS (
+            SELECT doc_id, {mins} FROM ({_shingles_sql('cdocs')}) GROUP BY doc_id
+        ), {band_ctes}, pairs AS (
             {band_joins}
         )
         SELECT a, b, COUNT(*) AS n_bands, MIN(band) AS first_band
@@ -604,13 +673,136 @@ def _banded_oracle_sql(bands: int = 4, rows_per_band: int = 4) -> str:
     """
 
 
+def _simhash_vote_sql(col: str, n_bits: int = 32) -> str:
+    """Majority-vote bit reassembly over a token-hash column (one 32-bit
+    half of the 64-bit simhash)."""
+    return " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({col} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+def _simhash64_sql(src: str = "documents") -> str:
+    """CTE chain computing (doc_id, sim_hi, sim_lo) — the SQL twin of
+    ops.dedup.simhash64 (md5 hex slices → 32-bit halves → per-bit votes)."""
+    return f"""toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+            FROM {src}
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+            FROM toks
+        ), sim AS (
+            SELECT doc_id,
+                   CAST({_simhash_vote_sql('h_hi')} AS BIGINT) AS sim_hi,
+                   CAST({_simhash_vote_sql('h_lo')} AS BIGINT) AS sim_lo
+            FROM h GROUP BY doc_id
+        )"""
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """SQL twin of simhash_near_dup_pairs: canonical collapse, four capped
+    16-bit pigeonhole bands, exact popcount filter."""
+    band_exprs = [
+        "(sim_hi >> 16) & 65535",
+        "sim_hi & 65535",
+        "(sim_lo >> 16) & 65535",
+        "sim_lo & 65535",
+    ]
+    band_ctes = ", ".join(
+        f"""band{i} AS (
+            SELECT doc_id, sim_hi, sim_lo, {e} AS bv FROM sim
+            QUALIFY row_number() OVER (PARTITION BY {e} ORDER BY doc_id)
+                    <= {_SIMHASH_MAX_BUCKET}
+        )"""
+        for i, e in enumerate(band_exprs)
+    )
+    branches = "\nUNION\n".join(
+        f"""SELECT x.doc_id AS a, y.doc_id AS b,
+                   x.sim_hi AS sa_hi, x.sim_lo AS sa_lo,
+                   y.sim_hi AS sb_hi, y.sim_lo AS sb_lo
+            FROM band{i} x JOIN band{i} y
+              ON x.bv = y.bv AND x.doc_id < y.doc_id"""
+        for i in range(4)
+    )
+    return f"""
+        WITH {_CANON}, {_simhash64_sql('cdocs')}, {band_ctes}, pairs AS (
+            {branches}
+        )
+        SELECT a, b,
+               CAST(bit_count(xor(sa_hi, sb_hi)) + bit_count(xor(sa_lo, sb_lo)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa_hi, sb_hi)) + bit_count(xor(sa_lo, sb_lo)) <= {max_hamming}
+    """
+
+
+def _ivf_kmeans_oracle_sql(k_cells: int = 8, iters: int = 2, n_probe: int = 3) -> str:
+    """SQL twin of ops.similarity.ivf_topk with the seeded k-means coarse
+    quantizer: min-k md5(vec_id) seeds, `iters` unrolled Lloyd rounds
+    (argmax-cosine assignment with ties → smallest cell; per-(cell, dim)
+    mean update; empty cells keep the previous centroid), probe the
+    n_probe nearest final cells, brute-force within."""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT e.vec_id, c.cell
+            FROM embeddings e CROSS JOIN {cent} c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC,
+                         c.cell) = 1
+        )"""
+
+    def update(asg: str, prev: str, new: str) -> str:
+        return f"""upd_{new} AS (
+            SELECT a.cell, i, AVG(e.embedding[i]::DOUBLE) AS x
+            FROM {asg} a JOIN embeddings e USING (vec_id) CROSS JOIN dims
+            GROUP BY a.cell, i
+        ), lst_{new} AS (
+            SELECT cell, list(x ORDER BY i) AS c FROM upd_{new} GROUP BY cell
+        ), {new} AS (
+            SELECT p.cell, COALESCE(n.c, p.c) AS c
+            FROM {prev} p LEFT JOIN lst_{new} n USING (cell)
+        )"""
+
+    lloyd = []
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        lloyd.append(assign(prev, f"asg{it}"))
+        lloyd.append(update(f"asg{it}", prev, f"cent{it}"))
+        prev = f"cent{it}"
+    rounds = ",\n".join(lloyd)
+    return f"""
+        WITH d AS (SELECT length(embedding) AS n FROM embeddings LIMIT 1),
+        dims AS (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i),
+        cent0 AS (
+            SELECT embedding::DOUBLE[] AS c,
+                   row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell
+            FROM embeddings
+            QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                    <= {k_cells}
+        ),
+        {rounds},
+        q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+        probe AS (
+            SELECT cell FROM {prev}, q
+            ORDER BY list_cosine_similarity(c, q.embedding::DOUBLE[]) DESC, cell
+            LIMIT {n_probe}
+        ),
+        {assign(prev, 'final_asg')}
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e JOIN final_asg a USING (vec_id), q
+        WHERE a.cell IN (SELECT cell FROM probe)
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh_mins = " || ".join(
         f"min(substr(sha256(sh), {i * 8 + 1}, 8))" for i in range(8)
-    )
-    simhash_bits = " + ".join(
-        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(16)
     )
     return {
         "tpch_q1_agg": """
@@ -717,6 +909,18 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT x AS uri FROM bwd
         """,
+        "scc_cycle_nodes": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS src,
+                       CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+                FROM nation
+            ), r(root, x) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.root, e.dst FROM r JOIN e ON e.src = r.x
+            )
+            SELECT DISTINCT root AS uri FROM r WHERE root = x
+        """,
         "docs_exact_dedup": """
             SELECT sha256(text) AS text_sha, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_copies
@@ -762,22 +966,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_SHINGLES}) GROUP BY doc_id
         """,
         "docs_minhash_pairs": f"""
-            WITH sig AS (
+            WITH {_CANON}, sig AS (
                 SELECT doc_id, {mh_mins} AS sig
-                FROM ({_SHINGLES}) GROUP BY doc_id
+                FROM ({_shingles_sql('cdocs')}) GROUP BY doc_id
+            ), capped AS (
+                SELECT doc_id, sig FROM sig
+                QUALIFY row_number() OVER (PARTITION BY sig ORDER BY doc_id)
+                        <= {_MAX_BUCKET}
             )
             SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sig
-            FROM sig x JOIN sig y ON x.sig = y.sig AND x.doc_id < y.doc_id
+            FROM capped x JOIN capped y ON x.sig = y.sig AND x.doc_id < y.doc_id
         """,
         "docs_simhash": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-                FROM documents
-            ), h AS (
-                SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM toks
-            )
-            SELECT doc_id, CAST({simhash_bits} AS INTEGER) AS simhash
-            FROM h GROUP BY doc_id
+            WITH {_simhash64_sql('documents')}
+            SELECT doc_id, sim_hi, sim_lo FROM sim
         """,
         "docs_minhash_banded_pairs": _banded_oracle_sql(),
         "docs_clean_corpus": f"""
@@ -803,49 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ann_candidates": _ann_oracle_sql(),
         "emb_ann_multiprobe": _ann_multiprobe_oracle_sql(),
-        "emb_ivf_topk": """
-            WITH d AS (SELECT length(embedding) AS n FROM embeddings LIMIT 1),
-            dims AS (SELECT unnest(range(1, (SELECT n FROM d) + 1)) AS i),
-            cent AS (
-                SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
-                FROM embeddings, dims GROUP BY label, i
-            ), cvec AS (
-                SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
-            ), q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
-            probe AS (
-                SELECT cvec.label FROM cvec, q
-                ORDER BY list_cosine_similarity(centroid, q.embedding::DOUBLE[]) DESC,
-                         cvec.label
-                LIMIT 3
-            )
-            SELECT e.vec_id, e.label,
-                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                q.embedding::DOUBLE[]), 4) AS cos_sim
-            FROM embeddings e, q
-            WHERE e.label IN (SELECT label FROM probe)
-            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-        """,
-        "docs_simhash_pairs": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-                FROM documents
-            ), h AS (
-                SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM toks
-            ), sim AS (
-                SELECT doc_id, CAST({simhash_bits} AS INTEGER) AS simhash
-                FROM h GROUP BY doc_id
-            ), pairs AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                       x.simhash AS sa, y.simhash AS sb
-                FROM sim x JOIN sim y
-                  ON x.doc_id < y.doc_id AND (
-                        ((x.simhash >> 10) & 63) = ((y.simhash >> 10) & 63)
-                     OR ((x.simhash >> 5) & 31) = ((y.simhash >> 5) & 31)
-                     OR (x.simhash & 31) = (y.simhash & 31))
-            )
-            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-            FROM pairs WHERE bit_count(xor(sa, sb)) <= 2
-        """,
+        "emb_ivf_topk": _ivf_kmeans_oracle_sql(),
+        "docs_simhash_pairs": _simhash_pairs_oracle_sql(),
         "docs_ngram_jaccard": """
             WITH sh0 AS (
                 SELECT DISTINCT doc_id,
@@ -915,6 +1076,13 @@ def oracle_sql() -> dict[str, str]:
                 ('http://codebase.local/moduleA.js#module'),
                 ('http://codebase.local/moduleB.js#module')
             ) AS t(module_uri)
+        """,
+        "kg_docstrings": """
+            SELECT * FROM (VALUES
+                ('code:hasDocstring', 'Greets a user politely.'),
+                ('code:hasDocstring', 'Farewell.'),
+                ('code:commentText', 'returns the name')
+            ) AS t(pred, text)
         """,
         "kg_blob_hashes": """
             SELECT * FROM (VALUES (

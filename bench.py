@@ -118,19 +118,31 @@ def main() -> None:
         "cc_components",
         "kg_entity_type_counts",
     ]
-    # two passes, best per query: co-tenant noise inflates single trials
-    # 2-5x in bad windows (BENCH/BASELINE.md caveat 1)
+    # two passes, best per query as the headline: co-tenant noise inflates
+    # single trials 2-5x in bad windows (BENCH/BASELINE.md caveat 1);
+    # medians recorded alongside so best-of-2 can't silently overstate
+    # steady-state throughput (ADVICE r2)
+    import statistics
+
+    trials: dict[str, list[float]] = {name: [] for name in headline}
     for _pass in range(2):
         for name in headline:
             fn = qs[name]
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             took = round(time.perf_counter() - t0, 3)
+            trials[name].append(took)
             timings[name] = min(timings.get(name, took), took)
+    medians = {name: round(statistics.median(ts), 3) for name, ts in trials.items()}
+    medians["kg_build_triples"] = round(statistics.median(kg_trials), 3)
     for name in headline:
-        print(f"[bench] {name}: {timings[name]}s (best of 2)", file=sys.stderr)
+        print(
+            f"[bench] {name}: {timings[name]}s (best of 2; median {medians[name]}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -138,6 +150,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_median": total_median,
                 "sf": sf,
                 "n_triples": n_triples,
                 "triples_per_sec": round(triples_per_sec, 1),

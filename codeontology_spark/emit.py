@@ -124,6 +124,9 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
     common = [
         _lit(subj, "code:hasName", F.col("name")),
         _lit(subj, "code:hasURI", subj, "anyURI"),
+        # `if entity.docstring:` truthiness (ontology_builder.py:117-118)
+        F.when(F.col("docstring").isNotNull() & (F.col("docstring") != ""),
+               _lit(subj, "code:hasDocstring", F.col("docstring"))),
         F.when(F.col("body_hash").isNotNull(), _lit(subj, "code:hasBodyHash", F.col("body_hash"))),
         *_loc_cluster(subj, loc0, F.col("path"), F.col("line"), F.col("col"),
                       F.col("end_line"), F.col("end_col")),
@@ -214,6 +217,18 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
     imports_symbols = F.transform(
         "imported_symbols", lambda s: _lit(subj, "code:importsSymbol", s)
     )
+    # one bnode per comment: hasComment → bnode, commentText literal
+    # (ontology_builder.py:126-130)
+    cmtb = lambda i: F.concat(F.lit("_:cmt"), i.cast("string"), F.lit("|"), subj)  # noqa: E731
+    comments = F.flatten(
+        F.transform(
+            "comments",
+            lambda c, i: F.array(
+                _t(subj, "code:hasComment", cmtb(i), False, "bnode"),
+                _lit(cmtb(i), "code:commentText", c),
+            ),
+        )
+    )
     argb = lambda i: F.concat(F.lit("_:arg"), i.cast("string"), F.lit("|"), subj)  # noqa: E731
     arguments = F.flatten(
         F.transform(
@@ -263,6 +278,7 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
 
     all_triples = F.concat(
         F.filter(F.concat(F.array(*common), kind_arr), lambda x: x.isNotNull()),
+        opt(comments),
         opt(imports_symbols),
         opt(arguments),
         opt(calls),

@@ -128,6 +128,8 @@ def _entity_columns(
         cols["imports"].append(_dedup_keep_first(e.imports) or None)
         cols["import_candidates"].append(e.import_candidates or None)
         cols["content_sha256"].append(sha if e.kind == "module" else None)
+        cols["docstring"].append(e.docstring)
+        cols["comments"].append(list(e.comments) or None)
 
 
 def _entity_rows(repo: str, path: str, commit: str, content: str) -> list[dict]:

@@ -65,7 +65,7 @@ _SAFE_RE = re.compile(r"[^A-Za-z0-9_]+")
 # Tokens after which a '/' starts a regex literal rather than division.
 # '<' and '>' deliberately excluded so JSX close tags lex as punctuation.
 _REGEX_PRECEDERS = {
-    "(", ",", "=", ":", "[", "!", "&", "|", "?", ";", "{", "}", "=>",
+    "(", ",", "=", ":", "[", "!", "&", "|", "?", "??", ";", "{", "}", "=>",
     "&&", "||", "==", "===", "!=", "!==", "+", "-", "*", "%", "return",
     "case", "typeof", "new", "in", "of", "delete", "void", "instanceof",
     "do", "else", "throw", "await", "yield",
@@ -106,6 +106,7 @@ class _Lexer:
         self.src = src
         self.n = len(src)
         self.toks: list[Tok] = []
+        self.comments: list[Tok] = []  # skipped but recorded, for docstrings
 
     def run(self) -> list[Tok]:
         self._code(0, top=True)
@@ -128,11 +129,15 @@ class _Lexer:
                 continue
             if c == "/" and i + 1 < n and src[i + 1] == "/":
                 j = src.find("\n", i)
-                i = n if j < 0 else j + 1
+                end = n if j < 0 else j
+                self.comments.append(Tok("comment", src[i:end], i, end))
+                i = end + 1
                 continue
             if c == "/" and i + 1 < n and src[i + 1] == "*":
                 j = src.find("*/", i + 2)
-                i = n if j < 0 else j + 2
+                end = n if j < 0 else j + 2
+                self.comments.append(Tok("comment", src[i:end], i, end))
+                i = end
                 continue
             if c in "'\"":
                 j = self._string_end(i)
@@ -169,7 +174,7 @@ class _Lexer:
             # multi-char punctuators we care about (first-char gated: the
             # startswith probes were ~25% of tokenizer time)
             if c in "=?!&|":
-                for p in ("=>", "?.", "===", "!==", "==", "!=", "&&", "||"):
+                for p in ("=>", "?.", "??", "===", "!==", "==", "!=", "&&", "||"):
                     if src.startswith(p, i):
                         self.toks.append(Tok("punct", p, i, i + len(p)))
                         i += len(p)
@@ -310,7 +315,45 @@ class Ent:
     imports: list = field(default_factory=list)
     # extension fields (not part of reference fidelity)
     import_candidates: list = field(default_factory=list)
+    # docstring/comments: modeled by the reference (code_entities.py:35-36)
+    # and lowered by its emitter (ontology_builder.py:117-130) but never
+    # populated by its parser — this engine extracts them on the jsparse
+    # path (leading JSDoc + contiguous comments); the fallback path stays
+    # empty, preserving executed-reference fallback parity
+    docstring: str | None = None
+    comments: list = field(default_factory=list)
     # parameter-URI quirk: URI minted with empty path, filePath literal real
+
+
+def _clean_block_comment(text: str) -> str:
+    """/** ... */ → the prose: delimiters stripped, per-line leading '*'
+    gutter removed."""
+    body = text
+    if body.startswith("/**"):
+        body = body[3:]
+    elif body.startswith("/*"):
+        body = body[2:]
+    if body.endswith("*/"):
+        body = body[:-2]
+    lines = []
+    for ln in body.splitlines():
+        s = ln.strip()
+        if s.startswith("*"):
+            s = s[1:].strip()
+        lines.append(s)
+    return "\n".join(lines).strip()
+
+
+def _clean_comment(text: str) -> str:
+    if text.startswith("//"):
+        return text[2:].strip()
+    return _clean_block_comment(text)
+
+
+_DOC_MODIFIERS = {
+    "export", "default", "async", "static", "get", "set",
+    "public", "private", "protected", "abstract",
+}
 
 
 class _Extractor:
@@ -320,7 +363,10 @@ class _Extractor:
         # TS grammar only for .ts/.tsx (ast_parser.py:86-91 language_map);
         # interface/type_alias nodes cannot appear under the JS grammar
         self.is_ts = path.endswith((".ts", ".tsx"))
-        self.toks = tokenize(src)
+        lx = _Lexer(src)
+        self.toks = lx.run()
+        self.comments = lx.comments
+        self._comment_ends = [c.b for c in self.comments]
         # line starts for offset -> (line, col)
         self.line_starts = [0]
         for m in re.finditer("\n", src):
@@ -469,6 +515,44 @@ class _Extractor:
             return "class"
         return "global"
 
+    def _attach_doc(self, ent: Ent, start_k: int) -> None:
+        """Attach leading comments to the declaration starting at token
+        start_k: the contiguous comment block (whitespace-only gaps)
+        immediately above the statement. The closest comment becomes the
+        docstring when it is a JSDoc `/** */`; everything else lands in
+        `comments`. Engine enrichment, NOT reference fidelity — the
+        reference models and lowers these fields but never populates them
+        (code_entities.py:35-36, ontology_builder.py:117-130)."""
+        if not self.comments:
+            return
+        import bisect
+
+        t = self.toks
+        k = start_k
+        while k > 0 and t[k - 1].kind == "id" and t[k - 1].text in _DOC_MODIFIERS:
+            k -= 1
+        bound = t[k].a
+        idx = bisect.bisect_right(self._comment_ends, bound) - 1
+        group: list[Tok] = []
+        while idx >= 0:
+            c = self.comments[idx]
+            if c.b <= bound and self.src[c.b:bound].strip() == "":
+                group.append(c)
+                bound = c.a
+                idx -= 1
+            else:
+                break
+        if not group:
+            return
+        group.reverse()  # source order
+        doc_idx = max(
+            (i for i, g in enumerate(group) if g.text.startswith("/**")), default=None
+        )
+        if doc_idx is not None:  # last JSDoc block in the group = docstring
+            ent.docstring = _clean_block_comment(group[doc_idx].text) or None
+            group = group[:doc_idx] + group[doc_idx + 1:]
+        ent.comments = [c for c in (_clean_comment(g.text) for g in group) if c]
+
     def _stmt_pos(self, k: int) -> bool:
         if k == 0:
             return True
@@ -485,7 +569,11 @@ class _Extractor:
             return False
         pt = self.toks[k - 1]
         if pt.kind == "punct":
-            return pt.text in ("=", "(", ",", "[", ":", "?", "&&", "||", "??", "...", "${")
+            if pt.text in ("=", "(", ",", "[", ":", "?", "&&", "||", "??", "${"):
+                return True
+            # spread-position literal f(...{run(){}}): the lexer emits three
+            # '.' tokens, so the discriminator is a '.' preceded by a '.'
+            return pt.text == "." and k >= 2 and self.toks[k - 2].text == "."
         return pt.kind == "id" and pt.text in ("return", "in", "of", "typeof", "yield")
 
     def _scan(self, lo: int, hi: int, cur_func, cur_class, in_class_body: bool,
@@ -688,6 +776,7 @@ class _Extractor:
                 is_async=is_async,
                 is_generator=is_gen,
             )
+            self._attach_doc(ent, start_k)
             self.ents.append(ent)
             for p in params:
                 self.ents.append(p)
@@ -741,6 +830,7 @@ class _Extractor:
                 # fires on URI map hits, i.e. never (ontology_builder.py:317)
                 extends_name=extends_name,
             )
+            self._attach_doc(ent, k)
             self.ents.append(ent)
             self.module.classes.append(ent.uri)
             self._scan(i + 1, bclose, cur_func, ent, in_class_body=True)
@@ -815,6 +905,7 @@ class _Extractor:
             is_constructor=name == "constructor",
             parent_class_uri=cur_class.uri if cur_class else None,
         )
+        self._attach_doc(ent, start_k)
         # method parameters are parsed but never appended to the entity list
         # (ast_parser.py:400-402) — so none are created here at all
         self.ents.append(ent)
@@ -993,8 +1084,17 @@ class _Extractor:
         t = self.toks
         name_tok = t[k + 1]
         if t[k].text == "interface":
+            # scan for the BODY '{', skipping balanced <...> generic groups:
+            # `interface Foo extends Bar<{x: number}> {` must not take the
+            # object-literal-type '{' inside the type arguments as the body
             j = k + 2
-            while j < hi and not (t[j].kind == "punct" and t[j].text in ("{", ";", "}")):
+            while j < hi:
+                if t[j].kind == "punct":
+                    if t[j].text == "<":
+                        j = self._match_fwd(j, "<", ">") + 1
+                        continue
+                    if t[j].text in ("{", ";", "}"):
+                        break
                 j += 1
             if j >= hi or t[j].text != "{":
                 return None
@@ -1020,6 +1120,7 @@ class _Extractor:
                 body_hash=sha16(self._node_text(t[k].a, t[end_k].b)),
             )
         )
+        self._attach_doc(self.ents[-1], k)
         # module.interfaces has NO relationship loop in the reference
         # emitter (ontology_builder.py:337-359 covers functions/classes/
         # exports/imports only), so nothing is tracked on the module row

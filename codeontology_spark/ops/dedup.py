@@ -2,11 +2,23 @@
 
 Scale notes (100 TB): exact dedup is one hash-shuffle on a 64-hex key;
 MinHash signatures are map-side (explode → partial min-agg, map-side
-combine) with one shuffle on doc_id; the LSH bucket join shuffles on the
-band signature (short string), which is the standard way to avoid the
-O(n²) pair explosion; n-gram Jaccard joins on shingle — its fan-out is
-bounded by shingle frequency, so at scale you'd cap hot shingles
-(df-style stopword dropping) before the join.
+combine) with one shuffle on doc_id; the LSH bucket joins shuffle on a
+band signature (short key) — the standard way to avoid the O(n²) pair
+explosion. Two skew guards protect the band joins themselves:
+
+1. **exact-dup pre-collapse** (`canonical_docs`): an exact-duplicate
+   cluster of c docs shares *every* band signature, so uncollapsed band
+   joins emit O(c²) pairs per band — the dominant real-world blowup
+   (boilerplate pages duplicated millions of times). Near-dup pair ops
+   therefore run over one representative per distinct text; the collapsed
+   copies are recoverable from `exact_dedup`.
+2. **hot-bucket caps**: a deterministic row_number ≤ max_bucket per
+   (band, signature) bounds any single bucket's self-join at
+   max_bucket²/2 pairs no matter how skewed the corpus (same
+   recall-for-boundedness trade as ops/similarity.ann_bucket_candidates).
+
+n-gram Jaccard joins on shingle; its fan-out is bounded by the max_df
+hot-shingle cap.
 """
 
 from __future__ import annotations
@@ -16,6 +28,8 @@ from pyspark.sql import functions as F
 
 SHINGLE = 5  # char-shingle width
 K_HASHES = 8  # minhash permutations (one band of 8 rows here)
+MAX_BUCKET = 64  # per-(band, signature) hot-bucket cap for minhash joins
+SIMHASH_MAX_BUCKET = 256  # per-(band, value) cap for the 16-bit simhash bands
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -27,6 +41,31 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
         .select("text_sha", "canonical_id", "n_copies")
+    )
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """One representative row per distinct text (min doc_id), carrying
+    n_copies. Run BEFORE any band join: exact-dup clusters share all band
+    signatures, so each c-cluster would otherwise emit O(c²) candidate
+    pairs per band; collapsed, it contributes one row."""
+    canon = docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    return docs.join(canon.select("doc_id", "n_copies"), "doc_id")
+
+
+def _cap_bucket(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Deterministically keep the first max_bucket rows (by doc_id) per
+    bucket key — bounds any bucket's self-join regardless of skew, and is
+    exactly mirrorable in SQL as a QUALIFY row_number()."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
 
 
@@ -59,12 +98,21 @@ def minhash_signatures(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE)
     )
 
 
-def minhash_near_dup_pairs(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE) -> DataFrame:
-    """LSH band join: docs sharing the full k-minhash band signature.
-    Self-join on sig (shuffle on the short band key), a < b."""
-    sig = minhash_signatures(docs, k, width)
-    a = sig.select(F.col("doc_id").alias("a"), "sig")
-    b = sig.select(F.col("doc_id").alias("b"), "sig")
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    k: int = K_HASHES,
+    width: int = SHINGLE,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """LSH band join: canonical docs sharing the full k-minhash band
+    signature. Exact dups are pre-collapsed (canonical_docs) and the
+    bucket self-join is capped at max_bucket rows per signature, so pair
+    output is bounded even on a corpus that is one giant duplicate
+    cluster. Self-join on sig (shuffle on the short band key), a < b."""
+    sig = minhash_signatures(canonical_docs(docs), k, width)
+    capped = _cap_bucket(sig, "sig", max_bucket)
+    a = capped.select(F.col("doc_id").alias("a"), "sig")
+    b = capped.select(F.col("doc_id").alias("b"), "sig")
     return a.join(b, "sig").filter(F.col("a") < F.col("b")).select("a", "b", "sig")
 
 
@@ -87,22 +135,35 @@ def minhash_wide_signatures(docs: DataFrame, k: int = 16, width: int = SHINGLE) 
 
 
 def minhash_banded_pairs(
-    docs: DataFrame, bands: int = 4, rows_per_band: int = 4, width: int = SHINGLE
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    width: int = SHINGLE,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Banded MinHash LSH: b bands × r rows over b·r hash families. A pair
     is a candidate if it agrees on ALL r rows of ANY band — the standard
     recall/precision knob (P[candidate] = 1-(1-J^r)^b) that single-band
     minhash lacks. Plan: per band, a self-equi-join on the short
     (band_id, band signature) key — b hash shuffles on tiny keys, no
-    all-pairs work; the unioned band joins dedup on (a, b)."""
+    all-pairs work; the unioned band joins dedup on (a, b).
+
+    Skew guards: exact dups pre-collapsed, per-(band, bsig) row_number cap.
+    The signature table is localCheckpoint-ed so the shingle explosion +
+    min-agg subtree provably runs ONCE, not once per band branch (without
+    it each branch of the union re-derives sig; ReusedExchange usually —
+    but not provably — rescues that)."""
     k = bands * rows_per_band
-    sig = minhash_wide_signatures(docs, k, width)
+    sig = minhash_wide_signatures(canonical_docs(docs), k, width).localCheckpoint(
+        eager=False
+    )
     out = None
     for bnd in range(bands):
         cols = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         banded = sig.select("doc_id", F.concat(*cols).alias("bsig"))
-        a = banded.select(F.col("doc_id").alias("a"), "bsig")
-        b = banded.select(F.col("doc_id").alias("b"), "bsig")
+        capped = _cap_bucket(banded, "bsig", max_bucket)
+        a = capped.select(F.col("doc_id").alias("a"), "bsig")
+        b = capped.select(F.col("doc_id").alias("b"), "bsig")
         pairs = (
             a.join(b, "bsig")
             .filter(F.col("a") < F.col("b"))
@@ -155,64 +216,105 @@ def ngram_jaccard_pairs(
     return j.select("a", "b", "jaccard")
 
 
-def simhash16(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over whitespace tokens: per bit, majority vote of the
-    token hashes' bits. Token hash = first 16 bits of md5 (hex → int via
-    two-nibble arithmetic so the SQL oracle can mirror it exactly)."""
+def _bit_votes(h, n_bits: int, prefix: str):
+    """Per-bit ±1 majority-vote aggregates over a token-hash column."""
+    return [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{prefix}{i}")
+        for i in range(n_bits)
+    ]
+
+
+def _assemble(prefix: str, n_bits: int):
+    out = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, as two 32-bit halves
+    (sim_hi, sim_lo — bigints in [0, 2³²)): per bit, majority vote of the
+    token hashes' bits. Token hash = md5(token); hi = hex chars 1-8,
+    lo = hex chars 9-16, each → bigint via conv so the SQL oracle mirrors
+    it exactly ('0x'||substr(md5(tok),...))::BIGINT.
+
+    64 bits (vs round 2's 16) is what makes the pigeonhole band join
+    subquadratic: each 16-bit band key has 65,536 distinct values, and a
+    64-bit fingerprint doesn't birthday-collide until ~2³² docs (16 bits
+    collided at ~300). One shuffle: the groupBy is map-side combinable
+    (64 partial sums per doc)."""
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok")
     )
-    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
-    hv = F.conv(h4, 16, 10).cast("int")
-    toks = toks.select("doc_id", hv.alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(16)
-    ]
-    votes = toks.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for i in range(16):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("int").alias("simhash"))
+    md5 = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    toks = toks.select("doc_id", hi.alias("h_hi"), lo.alias("h_lo"))
+    votes = toks.groupBy("doc_id").agg(
+        *_bit_votes(F.col("h_hi"), 32, "hb"), *_bit_votes(F.col("h_lo"), 32, "lb")
+    )
+    return votes.select(
+        "doc_id", _assemble("hb", 32).alias("sim_hi"), _assemble("lb", 32).alias("sim_lo")
+    )
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs: candidates from Hamming-band joins, then an
-    exact popcount filter.
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = SIMHASH_MAX_BUCKET
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates from pigeonhole Hamming-band
+    joins over the 64-bit fingerprint, then an exact popcount filter.
 
-    Pigeonhole banding: split the 16-bit simhash into max_hamming+1 bands —
-    any pair within Hamming distance max_hamming agrees exactly on at least
-    one band, so candidate generation is (max_hamming+1) hash equi-joins on
-    short integer keys instead of an all-pairs scan; the exact
-    bit_count(xor) filter then removes band-collision false positives.
+    Banding: the 64 bits split into four 16-bit bands (hi>>16, hi&0xffff,
+    lo>>16, lo&0xffff) — any pair within Hamming distance ≤ 3 agrees
+    exactly on at least one band, so candidate generation is 4 hash
+    equi-joins on 16-bit keys (65,536 distinct values per band — the
+    round-2 16-bit construction had 32-64, making the join O(n²/64) by
+    construction). Exact dups are pre-collapsed and each band bucket is
+    capped, so even adversarial corpora stay bounded. The exact
+    bit_count(xor) filter removes band-collision false positives.
     Returns (a, b, hamming)."""
-    sim = simhash16(docs)
-    n_bands = max_hamming + 1
-    width = 16 // n_bands
-    widths = [16 - width * (n_bands - 1)] + [width] * (n_bands - 1)
+    assert 1 <= max_hamming <= 3, "4 fixed 16-bit bands cover hamming <= 3"
+    sim = simhash64(canonical_docs(docs)).localCheckpoint(eager=False)
+    band_exprs = [
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(65535)),
+        F.col("sim_hi").bitwiseAND(F.lit(65535)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(65535)),
+        F.col("sim_lo").bitwiseAND(F.lit(65535)),
+    ]
     pairs = None
-    shift = 16
-    for bnd, w in enumerate(widths):
-        shift -= w
-        band_val = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << w) - 1))
-        banded = sim.select("doc_id", "simhash", band_val.alias("bv"))
+    for bv in band_exprs:
+        banded = _cap_bucket(
+            sim.select("doc_id", "sim_hi", "sim_lo", bv.alias("bv")), "bv", max_bucket
+        )
         a = banded.select(
-            F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "bv"
+            F.col("doc_id").alias("a"),
+            F.col("sim_hi").alias("sa_hi"),
+            F.col("sim_lo").alias("sa_lo"),
+            "bv",
         )
         b = banded.select(
-            F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "bv"
+            F.col("doc_id").alias("b"),
+            F.col("sim_hi").alias("sb_hi"),
+            F.col("sim_lo").alias("sb_lo"),
+            "bv",
         )
-        p = a.join(b, "bv").filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        p = (
+            a.join(b, "bv")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sa_hi", "sa_lo", "sb_hi", "sb_lo")
+        )
         pairs = p if pairs is None else pairs.unionByName(p)
     return (
-        pairs.groupBy("a", "b")
-        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
+        pairs.distinct()
         .withColumn(
             "hamming",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+            (
+                F.bit_count(F.col("sa_hi").bitwiseXOR(F.col("sb_hi")))
+                + F.bit_count(F.col("sa_lo").bitwiseXOR(F.col("sb_lo")))
+            ).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

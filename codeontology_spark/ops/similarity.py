@@ -160,33 +160,112 @@ def ann_multiprobe_candidates(
     )
 
 
+def _lit_vec(vals) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _argmax_cell(sims: list) -> "F.Column":
+    """Index of the max-cosine centroid, ties → smallest cell id: compare
+    struct(sim, -cell) field-wise (all codegen, no UDF)."""
+    packed = F.array(
+        *[F.struct(s.alias("sim"), F.lit(-i).alias("negcell")) for i, s in enumerate(sims)]
+    )
+    return (-F.array_max(packed)["negcell"]).cast("int")
+
+
+def kmeans_centroids(
+    emb: DataFrame, k_cells: int = 8, iters: int = 2
+) -> list[list[float]]:
+    """Seeded deterministic spherical k-means coarse quantizer.
+
+    Init = the k_cells vectors with the smallest md5(vec_id) (a min-k
+    hash sample — deterministic, no RNG, and exactly mirrorable in SQL).
+    Each Lloyd iteration: (1) assign every vector to its max-cosine
+    centroid — a map-only pass against the BROADCAST centroid literals
+    (k·dim doubles, the standard distributed-kmeans shape; no cross join,
+    no shuffle); (2) recompute centroids as per-(cell, dim) means — one
+    map-side-combinable shuffle on (cell, pos) with k·dim groups. The only
+    driver traffic is the k×dim centroid matrix per iteration, same class
+    as collecting the query vector. Ties in assignment break to the
+    smallest cell id (mirrored in the SQL twin)."""
+    seeds = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_cells)
+        .collect()
+    )
+    cents = [list(r["e"]) for r in seeds]
+    v = F.col("embedding").cast("array<double>")
+    for _ in range(iters):
+        sims = [cosine(v, _lit_vec(c)) for c in cents]
+        assigned = emb.select("vec_id", v.alias("e"), _argmax_cell(sims).alias("cell"))
+        per_dim = assigned.select("cell", F.posexplode("e").alias("pos", "x"))
+        rows = (
+            per_dim.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.col("pc.c").alias("centroid"))
+            .collect()
+        )
+        new = {r["cell"]: list(r["centroid"]) for r in rows}
+        # empty cells keep their previous centroid (deterministic; mirrored)
+        cents = [new.get(i, cents[i]) for i in range(k_cells)]
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, cell) for the final centroids — map-only, broadcast
+    literals."""
+    v = F.col("embedding").cast("array<double>")
+    sims = [cosine(v, _lit_vec(c)) for c in cents]
+    return emb.select("vec_id", _argmax_cell(sims).alias("cell"))
+
+
 def ivf_topk(
-    emb: DataFrame, query_vec: list[float], n_probe: int = 3, k: int = 10
+    emb: DataFrame,
+    query_vec: list[float],
+    n_probe: int = 3,
+    k: int = 10,
+    k_cells: int = 8,
+    iters: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: coarse cells = the label column (at 10⁹-vector scale
-    the cells come from k-means; the assign/probe/search plan is
-    identical), cell centroids = per-(label, dim) mean via posexplode (one
-    map-side-combinable shuffle on (label, pos)); the query probes the
-    n_probe nearest cells by centroid cosine, then brute-forces only those
-    cells — scanning n_probe/n_cells of the corpus instead of all of it.
-    The centroid table is tiny (cells × dim) and collects to the driver
-    like the query vector itself."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    per_dim = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
-    cent = (
-        per_dim.groupBy("label", "pos").agg(F.avg("v").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.col("pc.c").alias("centroid"))
+    """IVF ANN with a REAL coarse quantizer: seeded deterministic k-means
+    cells (kmeans_centroids — round 2 used the label column as a
+    placeholder); the query probes the n_probe nearest cells by centroid
+    cosine, then brute-forces only those cells — scanning n_probe/k_cells
+    of the corpus instead of all of it. At 10⁹ vectors the same plan holds:
+    centroids are broadcast literals, the assignment is map-only, and the
+    probed-cell scan is a partition-prunable filter when the corpus is
+    written bucketed by cell."""
+    cents = kmeans_centroids(emb, k_cells, iters)
+    ranked = sorted(
+        range(k_cells),
+        key=lambda i: (-_cos_py(cents[i], [float(x) for x in query_vec]), i),
     )
-    ranked = (
-        cent.select("label", cosine(F.col("centroid"), q).alias("cent_sim"))
-        .orderBy(F.desc("cent_sim"), "label")
-        .limit(n_probe)
+    probe = ranked[:n_probe]
+    assigned = kmeans_assign(emb, cents)
+    cells = emb.join(
+        assigned.filter(F.col("cell").isin(probe)).select("vec_id"),
+        "vec_id",
+        "left_semi",
     )
-    probe_labels = [r["label"] for r in ranked.collect()]
-    cells = emb.filter(F.col("label").isin(probe_labels))
     return cosine_topk(cells, query_vec, k)
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine over two tiny vectors (centroid ranking only) —
+    sequential fold, same summation order as the SQL twin."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb)) if na and nb else 0.0
 
 
 def ann_bucket_candidates(

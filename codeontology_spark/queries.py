@@ -245,13 +245,153 @@ def call_chain_between(t: DataFrame, start_name: str, end_name: str) -> DataFram
     return mid.join(names(t), ["repo", "uri"]).select("repo", "uri", "name")
 
 
-def circular_dependencies(t: DataFrame) -> DataFrame:
-    """B7 (query_engine.py:106-111): modules on an imports+ cycle."""
-    closure = transitive_closure(edge(t, "code:imports"))
-    return (
-        closure.filter(F.col("src") == F.col("dst"))
-        .select("repo", F.col("src").alias("module_uri"))
+def _min_label_reach(verts: DataFrame, edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """label(v) = min{u : u →* v} ∪ {v} over the active subgraph, by
+    min-label propagation WITH label-of-label doubling: each round does
+    (1) a neighbor-min relaxation along edges and (2) a jump
+    label(v) ← label(label(v)) (valid: if u reaches v and w reaches u then
+    w reaches v), so convergence is O(log diameter) rounds instead of
+    O(diameter). verts: (repo, uri); edges: (repo, src, dst), both assumed
+    restricted to active nodes. Returns (repo, uri, label)."""
+    labels = verts.withColumn("label", F.col("uri")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        via_edge = (
+            edges.join(
+                labels.select("repo", F.col("uri").alias("src"), "label"),
+                ["repo", "src"],
+            )
+            .select("repo", F.col("dst").alias("uri"), "label")
+        )
+        relaxed = (
+            labels.select("repo", "uri", "label")
+            .unionByName(via_edge)
+            .groupBy("repo", "uri")
+            .agg(F.min("label").alias("label"))
+        )
+        parent = relaxed.select(
+            "repo", F.col("uri").alias("label"), F.col("label").alias("grand")
+        )
+        jumped = (
+            relaxed.join(parent, ["repo", "label"], "left")
+            .select(
+                "repo", "uri",
+                F.least(F.col("label"), F.coalesce("grand", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, ["repo", "uri"])
+            .filter(F.col("new_label") != F.col("label"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 10, max_iters: int = 20
+) -> DataFrame:
+    """Distributed SCC: iterated trimming + forward/backward min-label
+    coloring (the DataFrame form of FW-BW/coloring SCC — Orzan-style).
+
+    Per outer round over the active subgraph:
+    1. **trim to fixpoint**: nodes with no in-edge or no out-edge cannot lie
+       on a cycle → assign them singleton SCCs and peel (this alone removes
+       the entire acyclic fringe, the bulk of a real module-import graph);
+    2. **color**: F(v) = min node that reaches v (forward min-label
+       propagation with doubling), B(v) = min node v reaches (same over
+       reversed edges);
+    3. **assign**: F(v) == B(v) == c ⇒ c reaches v AND v reaches c ⇒
+       v ∈ SCC(c). Assign and peel those; in particular the whole SCC of
+       the minimum active node resolves every round, so the loop
+       terminates.
+
+    State is O(V) labels per step — never the O(V·avg-reach) closure the
+    round-2 plan materialized. Returns (repo, uri, scc), scc = min member.
+    """
+    verts = (
+        edges.select("repo", F.col("src").alias("uri"))
+        .unionByName(edges.select("repo", F.col("dst").alias("uri")))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("repo", "src", "dst").distinct().localCheckpoint(eager=True)
+    assigned = None
+
+    def _acc(a: DataFrame | None, b: DataFrame) -> DataFrame:
+        return b if a is None else a.unionByName(b).localCheckpoint(eager=True)
+
+    for _ in range(max_outer):
+        if verts.isEmpty():
+            break
+        # 1) trim: peel no-in/no-out nodes until fixpoint
+        for _ in range(max_iters):
+            has_out = e.select("repo", F.col("src").alias("uri")).distinct()
+            has_in = e.select("repo", F.col("dst").alias("uri")).distinct()
+            core = (
+                verts.join(has_out, ["repo", "uri"], "left_semi")
+                .join(has_in, ["repo", "uri"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            peeled = verts.join(core, ["repo", "uri"], "left_anti")
+            if peeled.isEmpty():
+                break
+            assigned = _acc(assigned, peeled.withColumn("scc", F.col("uri")))
+            verts = core
+            e = (
+                e.join(core.withColumnRenamed("uri", "src"), ["repo", "src"], "left_semi")
+                .join(core.withColumnRenamed("uri", "dst"), ["repo", "dst"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if verts.isEmpty():
+            break
+        # 2) forward/backward coloring over the trimmed core
+        fwd = _min_label_reach(verts, e, max_iters)
+        rev = e.select("repo", F.col("dst").alias("src"), F.col("src").alias("dst"))
+        bwd = _min_label_reach(verts, rev, max_iters).withColumnRenamed("label", "blabel")
+        both = fwd.join(bwd, ["repo", "uri"])
+        hit = both.filter(F.col("label") == F.col("blabel")).select(
+            "repo", "uri", F.col("label").alias("scc")
+        ).localCheckpoint(eager=True)
+        assigned = _acc(assigned, hit)
+        verts = verts.join(hit, ["repo", "uri"], "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(verts.withColumnRenamed("uri", "src"), ["repo", "src"], "left_semi")
+            .join(verts.withColumnRenamed("uri", "dst"), ["repo", "dst"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if assigned is None:  # empty edge set — keep the caller's uri type
+        return edges.select(
+            "repo", F.col("src").alias("uri"), F.col("src").alias("scc")
+        ).limit(0)
+    return assigned
+
+
+def cycle_nodes(edges: DataFrame) -> DataFrame:
+    """Nodes lying on some directed cycle: members of an SCC of size > 1,
+    plus self-loop nodes. Frontier/label-sized state throughout — replaces
+    the round-2 plan that materialized the full transitive closure just to
+    filter src == dst."""
+    scc = strongly_connected_components(edges)
+    sizes = scc.groupBy("repo", "scc").agg(F.count("*").alias("n"))
+    multi = (
+        scc.join(sizes.filter(F.col("n") > 1).select("repo", "scc"), ["repo", "scc"])
+        .select("repo", "uri")
+    )
+    selfloop = edges.filter(F.col("src") == F.col("dst")).select(
+        "repo", F.col("src").alias("uri")
+    )
+    return multi.unionByName(selfloop).distinct()
+
+
+def circular_dependencies(t: DataFrame) -> DataFrame:
+    """B7 (query_engine.py:106-111): modules on an imports+ cycle —
+    detected by distributed SCC (trim + FW-BW coloring), not by
+    materializing the imports+ closure."""
+    return cycle_nodes(edge(t, "code:imports")).select(
+        "repo", F.col("uri").alias("module_uri")
     )
 
 
@@ -272,6 +412,12 @@ def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
         link.select("repo", F.col("subj").alias("u"), F.col("obj").alias("v"))
         .unionByName(link.select("repo", F.col("obj").alias("u"), F.col("subj").alias("v")))
     )
+    # depth > 2: checkpoint the adjacency once and the frontier/visited per
+    # hop — otherwise each hop re-derives adj from t and the plan (and its
+    # optimization time) grows multiplicatively with depth
+    deep = depth > 2
+    if deep:
+        adj = adj.localCheckpoint(eager=False)
     visited = adj.filter(F.col("u") == uri).select("repo", "u").distinct()
     frontier = visited
     for _ in range(max(depth, 1)):
@@ -282,6 +428,11 @@ def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
         )
         frontier = nbrs.join(visited, ["repo", "u"], "left_anti")
         visited = visited.unionByName(frontier).distinct()
+        if deep:
+            frontier = frontier.localCheckpoint(eager=True)
+            visited = visited.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
     members = visited.withColumnRenamed("u", "subj")
     return t.join(members, ["repo", "subj"]).distinct()
 

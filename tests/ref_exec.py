@@ -121,10 +121,37 @@ def _install_stubs() -> None:
 _REF_MODULES: dict = {}
 
 
+# Content pins for the executed reference files (ADVICE r2): this harness
+# runs third-party code in-process; a silently-changed reference tree must
+# fail loudly here instead of executing unreviewed new code.
+_REF_SHA256 = {
+    "src/parsers/ast_parser.py":
+        "d3f330a87c21359670f680563ab40c39b5260d22dc74c02973eec47a494ee965",
+    "src/graph/ontology_builder.py":
+        "febcb70f920f057905368d9a5ccfba6c547ee36ba9f5e8f587b77d0641ba302d",
+    "src/models/code_entities.py":
+        "fd307ef68056f5a9fd9d14d873d2c35e61e021ce92364ab3381f1873fc93043f",
+}
+
+
+def _pin_reference_files() -> None:
+    import hashlib
+
+    for rel, want in _REF_SHA256.items():
+        got = hashlib.sha256(pathlib.Path(REF, rel).read_bytes()).hexdigest()
+        if got != want:
+            raise RuntimeError(
+                f"refusing to execute changed reference file {rel}: "
+                f"sha256 {got} != pinned {want}"
+            )
+
+
 def load_reference():
-    """Import the reference's parser + emitter modules (read-only)."""
+    """Import the reference's parser + emitter modules (read-only),
+    content-pinned by sha256 before any code executes."""
     if _REF_MODULES:
         return _REF_MODULES
+    _pin_reference_files()
     _install_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -223,7 +250,12 @@ def ents_to_pydantic(path: str, ents: list) -> list:
 
     out = []
     for e in ents:
-        common = dict(name=e.name, body_hash=e.body_hash)
+        common = dict(
+            name=e.name,
+            body_hash=e.body_hash,
+            docstring=e.docstring,
+            comments=list(e.comments),
+        )
         if e.kind == "module":
             ent = ce.ModuleEntity(
                 location=loc(e, path),

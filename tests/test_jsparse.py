@@ -221,3 +221,31 @@ def test_iife_callee_is_parenthesized_expression():
     # control parens never become callees
     ents2 = extract_file("c.js", "if (x) (y);\n")
     assert [e for e in ents2 if e.kind == "call"] == []
+
+
+def test_interface_extends_generic_object_literal():
+    """ADVICE r2: the extends clause's <...> type arguments may contain a
+    '{' (object-literal type) — the body scan must skip balanced generics,
+    and a type-only body must emit no call entities."""
+    src = "interface Foo extends Bar<{x: number}> { greet(msg: string): void; }\n"
+    ents = extract_file("t.ts", src)
+    ifaces = by_kind(ents, "interface")
+    assert [i.name for i in ifaces] == ["Foo"]
+    assert by_kind(ents, "call") == []  # no phantom call_greet
+
+
+def test_spread_position_object_literal_method():
+    """ADVICE r2: `f(...{run(){}})` — object-literal methods in spread
+    position were skipped because the lexer never emits a '...' token."""
+    src = "function f(x) { return x; }\nf({ ...{ run() { return 1; } } });\n"
+    ents = extract_file("s.js", src)
+    assert "run" in {e.name for e in by_kind(ents, "method")}
+
+
+def test_nullish_coalescing_lexes_as_one_token():
+    """`a ?? {}` must not mis-scan; '??' is now a single punct token and a
+    valid object-literal predecessor."""
+    src = "const v = a ?? { run() { return 2; } };\nfunction g() {}\n"
+    ents = extract_file("n.js", src)
+    assert "run" in {e.name for e in by_kind(ents, "method")}
+    assert "g" in {e.name for e in by_kind(ents, "function")}

@@ -214,3 +214,72 @@ def test_get_context_does_not_leak_across_repos(spark):
     got = {(r.repo, r.subj, r.obj) for r in ctx.collect()}
     assert ("r1", "u:x", "u:y") in got and ("r2", "u:x", "u:z") in got
     assert ("r1", "u:x", "u:z") not in got
+
+
+def test_scc_known_components(spark):
+    """Directed graph with known SCCs: {a,b,c} 3-cycle, {e,f} 2-cycle,
+    self-loop g, and an acyclic bridge d plus chain h->i (all singletons).
+    Two repos assert no cross-repo label bleed."""
+    edges = spark.createDataFrame(
+        [
+            ("r1", "a", "b"), ("r1", "b", "c"), ("r1", "c", "a"),
+            ("r1", "c", "d"), ("r1", "d", "e"),
+            ("r1", "e", "f"), ("r1", "f", "e"),
+            ("r1", "g", "g"), ("r1", "h", "i"),
+            ("r2", "a", "b"),  # same names, different repo, no cycle
+        ],
+        "repo string, src string, dst string",
+    )
+    scc = {
+        (r.repo, r.uri): r.scc
+        for r in Q.strongly_connected_components(edges).collect()
+    }
+    assert scc[("r1", "a")] == scc[("r1", "b")] == scc[("r1", "c")] == "a"
+    assert scc[("r1", "e")] == scc[("r1", "f")] == "e"
+    assert scc[("r1", "d")] == "d" and scc[("r1", "h")] == "h"
+    assert scc[("r2", "a")] == "a" and scc[("r2", "b")] == "b"
+    # every vertex got exactly one assignment
+    assert len(scc) == 11
+
+    cyc = {(r.repo, r.uri) for r in Q.cycle_nodes(edges).collect()}
+    assert cyc == {("r1", "a"), ("r1", "b"), ("r1", "c"),
+                   ("r1", "e"), ("r1", "f"), ("r1", "g")}
+
+
+def test_circular_dependencies_never_materializes_closure(triples, monkeypatch):
+    """B7 must run on SCC (frontier-sized state), not the imports+ closure:
+    the closure is O(V*avg-reach) rows on a layered mega-repo even when no
+    cycle exists."""
+    def _boom(*a, **k):
+        raise AssertionError("circular_dependencies called transitive_closure")
+
+    monkeypatch.setattr(Q, "transitive_closure", _boom)
+    got = {r.module_uri for r in Q.circular_dependencies(triples).collect()}
+    assert got == {
+        "http://codebase.local/moduleA.js#module",
+        "http://codebase.local/moduleB.js#module",
+    }
+
+
+def test_get_context_depth4_bounded_plan(spark):
+    """Deep traversals checkpoint the frontier/visited per hop, so the
+    final plan stays bounded instead of nesting one join tree per hop."""
+    import contextlib
+    import io
+
+    rows = []
+    chain = ["u:a", "u:b", "u:c", "u:d", "u:e"]
+    for s, o in zip(chain, chain[1:]):
+        rows.append(("r", s, "code:calls", o, True, "uri"))
+    t = spark.createDataFrame(
+        rows, "repo string, subj string, pred string, obj string, is_uri boolean, dtype string"
+    )
+    ctx = Q.get_context(t, "u:a", depth=4)
+    got = {r.subj for r in ctx.collect()}
+    assert got == {"u:a", "u:b", "u:c", "u:d"}  # subjects within 4 hops
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ctx.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # checkpointed state, not a 4-deep join tree

@@ -15,7 +15,14 @@ from codeontology_spark.link import (
     nearest_line_resolution,
     resolve_import_candidates,
 )
-from codeontology_spark.ops.dedup import exact_dedup, minhash_signatures, simhash16
+from codeontology_spark.ops.dedup import (
+    exact_dedup,
+    minhash_banded_pairs,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_dup_pairs,
+)
 from codeontology_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media
 from codeontology_spark.pipeline import build_graph
 from codeontology_spark.schemas import INPUT_SCHEMA
@@ -178,9 +185,72 @@ def test_dedup_ops(spark):
     sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2] != sigs[3]
     assert len(sigs[1]) == 64  # 8 hashes × 8 hex chars
-    sh = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    sh = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64(docs).collect()}
     assert sh[1] == sh[2]
-    assert 0 <= sh[1] < 2**16
+    assert 0 <= sh[1][0] < 2**32 and 0 <= sh[1][1] < 2**32
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_simhash_band_density_subquadratic(spark):
+    """The 64-bit fix: over n distinct pseudo-random docs the four 16-bit
+    band joins must yield FAR fewer candidate pairs than n²/64 — the
+    round-2 16-bit construction produced ~4% of all pairs by construction
+    (band-key cardinality 32-64); 16-bit keys give expected collisions
+    ≈ 4·C(n,2)/65536 ≈ n²/32768."""
+    import hashlib
+
+    n = 300
+    docs = _mk_docs(
+        spark,
+        [
+            (
+                i,
+                " ".join(
+                    hashlib.sha256(f"{i}:{j}".encode()).hexdigest()[:10]
+                    for j in range(12)
+                ),
+            )
+            for i in range(n)
+        ],
+    )
+    pairs = simhash_near_dup_pairs(docs).count()
+    # hamming<=3 on unrelated 64-bit fingerprints is essentially impossible
+    assert pairs == 0
+    # and identical docs are still found
+    dup = _mk_docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "alpha beta gamma deltx")])
+    got = {(r.a, r.b) for r in simhash_near_dup_pairs(dup).collect()}
+    assert (1, 2) not in got  # exact dups collapse to one canonical rep
+    assert got <= {(1, 3), (2, 3)}
+
+
+def test_minhash_pairs_bounded_on_dup_cluster(spark):
+    """A 1,000-copy exact-duplicate cluster must NOT produce ~c²/2 pairs:
+    the cluster collapses to one canonical representative before banding,
+    and residual buckets are row_number-capped."""
+    import hashlib
+
+    boiler = "the same boilerplate page text repeated everywhere " * 3
+    rows = [(i, boiler) for i in range(1000)]
+    base = [hashlib.sha256(f"w{j}".encode()).hexdigest()[:8] for j in range(40)]
+    for i in range(5):  # 5 mutually-near-dup docs (one word swapped each)
+        words = list(base)
+        words[i] = f"swap{i}"
+        rows.append((2000 + i, " ".join(words)))
+    docs = _mk_docs(spark, rows)
+    # the 1000-cluster collapses to ONE representative → zero pairs from it;
+    # only the 5 near-dups can pair (≤ C(5,2) = 10), never ~10⁶/2
+    for pairs_df in (minhash_near_dup_pairs(docs), minhash_banded_pairs(docs)):
+        got = pairs_df.select("a", "b").collect()
+        assert len(got) <= 10
+        assert all(r.a >= 2000 and r.b >= 2000 for r in got)
+    # banded LSH (J^4 per band, 4 bands) must actually recall the near-dups
+    assert minhash_banded_pairs(docs).count() >= 1
 
 
 def test_multimodal_plumbing(spark):
@@ -310,6 +380,29 @@ def test_ivf_topk_matches_brute_force_when_probing_all_cells(spark):
     assert exact == ivf_all
 
 
+def test_ivf_kmeans_recall_and_determinism(spark):
+    """The seeded k-means quantizer is deterministic (same seeds → same
+    centroids) and probing 3/8 cells still recalls most of the exact
+    top-10 (clustered synthetic embeddings)."""
+    from codeontology_spark.ops.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_centroids(emb, k_cells=4, iters=2)
+    c2 = kmeans_centroids(emb, k_cells=4, iters=2)
+    assert c1 == c2  # no RNG anywhere
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+    q = list(emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"])
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, q, n_probe=3, k=10, k_cells=8).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall@10 = {recall}"
+
+
 def test_update_entity_props_batch(spark, built):
     """C1 batched path: many property rewrites in one anti-join ∪ union."""
     from codeontology_spark.incremental import update_entity_props_batch
@@ -352,3 +445,21 @@ def test_predicate_scan_is_partition_pruned(spark, built, tmp_path):
         back.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "code:calls" in plan, plan[:2000]
+
+
+def test_stage_lineage_emits_one_row_per_repo(spark):
+    """A multi-repo partition must produce one lineage row per repo, not a
+    single row labeled with the first batch's repo."""
+    from codeontology_spark.store import stage_lineage
+
+    df = spark.createDataFrame(
+        [("r1", "a.js", "x"), ("r1", "b.js", "y"), ("r2", "c.js", "z")],
+        "repo string, path string, content string",
+    ).coalesce(1)  # deliberately multi-repo single partition
+    rows = stage_lineage(df, "extract").collect()
+    by_repo = {r.repo: r for r in rows}
+    assert set(by_repo) == {"r1", "r2"}
+    assert by_repo["r1"].n_files == 2 and by_repo["r1"].n_rows == 2
+    assert by_repo["r2"].n_files == 1 and by_repo["r2"].n_rows == 1
+    assert by_repo["r1"].min_path == "a.js" and by_repo["r1"].max_path == "b.js"
+    assert all(r.partition_id == rows[0].partition_id for r in rows)

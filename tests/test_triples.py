@@ -164,3 +164,30 @@ def test_infer_patterns(built):
     # (ast_parser.py:773-776), so is_exported is never set and the API-
     # boundary scan finds 0 — exactly the reference's printed result
     assert found.filter("finding = 'public_api'").count() == 0
+
+
+def test_docstring_and_comment_triples(spark):
+    """code:hasDocstring + hasComment/commentText emission (the reference
+    models these at code_entities.py:35-36 and lowers them at
+    ontology_builder.py:117-130 but never populates them; the jsparse path
+    extracts leading JSDoc/comments)."""
+    from codeontology_spark.schemas import INPUT_SCHEMA
+
+    src_text = (
+        "/**\n * Greets a user.\n */\n// note line\n"
+        "function greet(name) { return name; }\n"
+    )
+    src = spark.createDataFrame(
+        [("r", "doc.js", "c", "javascript", src_text)], schema=INPUT_SCHEMA
+    )
+    res = build_graph(src, persist=True)
+    t = res.triples
+    fn = "http://codebase.local/doc.js#function_greet_5"
+    doc = t.filter((F.col("subj") == fn) & (F.col("pred") == "code:hasDocstring"))
+    assert [r.obj for r in doc.collect()] == ["Greets a user."]
+    cmt = t.filter((F.col("subj") == fn) & (F.col("pred") == "code:hasComment"))
+    bnodes = [r.obj for r in cmt.collect()]
+    assert len(bnodes) == 1 and bnodes[0].startswith("_:cmt")
+    texts = t.filter((F.col("subj") == bnodes[0]) & (F.col("pred") == "code:commentText"))
+    assert [r.obj for r in texts.collect()] == ["note line"]
+    res.entities.unpersist()
