@@ -32,17 +32,23 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def prewrite_corpus(n_repos: int, path: str) -> None:
-    from codeontology_spark.session import get_spark
-    from codeontology_spark.synth import synth_table
-
-    spark = get_spark("scaling-corpus", cores=32, shuffle_partitions=32)
-    synth_table(spark, n_repos=n_repos, partitions=64).write.mode("overwrite").parquet(
-        f"{path}/src"
+    """Write the shared corpus in a SUBPROCESS: spark.stop() does not exit
+    the py4j gateway JVM, and a lingering 20 GB pre-touched heap would
+    contend with every timed leg."""
+    script = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from codeontology_spark.session import get_spark\n"
+        "from codeontology_spark.synth import synth_table\n"
+        "spark = get_spark('scaling-corpus', cores=32, shuffle_partitions=32)\n"
+        "synth_table(spark, n_repos=int(sys.argv[3]), partitions=64)"
+        ".write.mode('overwrite').parquet(sys.argv[2] + '/src')\n"
+        "synth_table(spark, n_repos=200, partitions=64)"
+        ".write.mode('overwrite').parquet(sys.argv[2] + '/warm')\n"
     )
-    synth_table(spark, n_repos=200, partitions=64).write.mode("overwrite").parquet(
-        f"{path}/warm"
+    repo = os.path.dirname(HERE)
+    subprocess.run(
+        [sys.executable, "-c", script, repo, path, str(n_repos)], check=True
     )
-    spark.stop()
 
 
 def run_leg(cores: int, n_repos: int, src: str) -> dict:
@@ -65,7 +71,8 @@ def run_leg(cores: int, n_repos: int, src: str) -> dict:
 def main() -> None:
     n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    small, large = 8, 32
+    small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    large = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     tmp = tempfile.mkdtemp(prefix="scaling_eval_")
     prewrite_corpus(n_repos, tmp)
