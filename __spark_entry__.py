@@ -264,6 +264,72 @@ def _q_scc_cycle_nodes(spark, sf):
     return cycle_nodes(edges).select("uri")
 
 
+def _synthetic_multi_edges(spark, sf):
+    """Denser deterministic digraph: two functional maps per node (self-loops
+    kept — the graph ops are responsible for handling them)."""
+    nation = _read(spark, sf, "nation")
+    e1 = nation.select(
+        F.lit("g").alias("repo"),
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).cast("long").alias("dst"),
+    )
+    e2 = nation.select(
+        F.lit("g").alias("repo"),
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 3 + 2) % 25).cast("long").alias("dst"),
+    )
+    e3 = nation.select(
+        F.lit("g").alias("repo"),
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") + 7) % 25).cast("long").alias("dst"),
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+_MULTI_EDGES_SQL = """
+    SELECT CAST(n_nationkey AS BIGINT) AS src,
+           CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) AS src,
+           CAST((n_nationkey * 3 + 2) % 25 AS BIGINT) AS dst FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) AS src,
+           CAST((n_nationkey + 7) % 25 AS BIGINT) AS dst FROM nation
+"""
+
+
+def _q_graph_degree_centrality(spark, sf):
+    """B20 degree centrality over the synthetic digraph."""
+    from codeontology_spark.queries import degree_centrality
+
+    return degree_centrality(_synthetic_multi_edges(spark, sf)).select(
+        F.col("uri").alias("node"), "out_degree", "in_degree", "degree"
+    )
+
+
+def _q_graph_density_stats(spark, sf):
+    """B21 node/edge counts, density, triangle count (2-hop join closed by
+    a third edge over the ordered symmetrized graph)."""
+    from codeontology_spark.queries import graph_density_stats
+
+    return graph_density_stats(_synthetic_multi_edges(spark, sf)).select(
+        "n_nodes", "n_edges", "triangles", "density"
+    )
+
+
+def _q_graph_simple_paths(spark, sf):
+    """B18 bounded all-simple-paths 0 → 12 (cutoff 5 hops): iterative
+    frontier join carrying an array path column with an array_contains
+    cycle guard."""
+    from codeontology_spark.queries import simple_paths
+
+    out = simple_paths(_synthetic_multi_edges(spark, sf), 0, 12, cutoff=5)
+    path_str = F.array_join(F.expr("transform(path, x -> cast(x as string))"), "->")
+    return out.select(
+        path_str.alias("path_str"), F.col("length").cast("int").alias("length")
+    )
+
+
 def _q_docs_exact_dedup(spark, sf):
     return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -500,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_chain_endpoints": _q_closure_chain_endpoints,
         "cc_components": _q_cc_components,
         "scc_cycle_nodes": _q_scc_cycle_nodes,
+        "graph_degree_centrality": _q_graph_degree_centrality,
+        "graph_density_stats": _q_graph_density_stats,
+        "graph_simple_paths": _q_graph_simple_paths,
         # training-data ops: dedup / text analysis / similarity
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
@@ -908,6 +977,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT x AS uri FROM fwd
             INTERSECT
             SELECT x AS uri FROM bwd
+        """,
+        "graph_degree_centrality": f"""
+            WITH e AS ({_MULTI_EDGES_SQL}),
+            outd AS (SELECT src AS node, COUNT(*) AS out_degree FROM e GROUP BY src),
+            ind AS (SELECT dst AS node, COUNT(*) AS in_degree FROM e GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+            FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        "graph_density_stats": f"""
+            WITH e AS ({_MULTI_EDGES_SQL}),
+            sym AS (
+                SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION
+                SELECT dst AS a, src AS b FROM e WHERE src <> dst
+            ),
+            ord AS (SELECT a, b FROM sym WHERE a < b),
+            n AS (SELECT COUNT(DISTINCT a) AS n_nodes FROM sym),
+            ed AS (SELECT COUNT(*) AS n_edges FROM ord),
+            t AS (
+                SELECT COUNT(*) AS triangles
+                FROM ord e1
+                JOIN ord e2 ON e2.a = e1.b
+                JOIN ord e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT n.n_nodes, ed.n_edges, t.triangles,
+                   CASE WHEN n.n_nodes > 1
+                        THEN ROUND(2.0 * ed.n_edges / (n.n_nodes * (n.n_nodes - 1)), 6)
+                        ELSE 0.0 END AS density
+            FROM n, ed, t
+        """,
+        "graph_simple_paths": f"""
+            WITH RECURSIVE e AS ({_MULTI_EDGES_SQL}),
+            p(head, path) AS (
+                SELECT dst AS head, [src, dst] AS path FROM e WHERE src = 0
+                UNION ALL
+                SELECT e.dst, list_append(p.path, e.dst)
+                FROM p JOIN e ON e.src = p.head
+                WHERE p.head <> 12 AND NOT list_contains(p.path, e.dst)
+                  AND length(p.path) <= 5
+            )
+            SELECT array_to_string(path, '->') AS path_str,
+                   CAST(length(path) - 1 AS INTEGER) AS length
+            FROM p WHERE head = 12
         """,
         "scc_cycle_nodes": """
             WITH RECURSIVE e AS (
