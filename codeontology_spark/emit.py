@@ -110,9 +110,33 @@ def dedup_colliding_uris(entities: DataFrame) -> DataFrame:
     return others.unionByName(first, allowMissingColumns=True)
 
 
+_EXPR_CACHE: dict[str, Column] = {}
+
+
 def triples_from_entities(entities: DataFrame) -> DataFrame:
-    """Entity rows → triple rows in a single scan + explode."""
-    e = entities
+    """Entity rows → triple rows in a single scan + explode.
+
+    The whole lowering is ONE unresolved Column expression (name-based
+    F.col references only), so it is built once per process and cached:
+    constructing its ~300 nested struct/when/transform nodes costs ~2 s of
+    py4j round-trips — a fixed serial cost that was paid on every
+    build_graph call (micro-batch/incremental callers re-enter here per
+    batch; it was ~a third of the measured per-trial serial component in
+    the N→4N scaling runs)."""
+    out = entities.select("repo", F.explode(_all_triples_expr()).alias("t")).select(
+        "repo", "t.*"
+    )
+    return out.select([F.col(c) for c in TRIPLE_SCHEMA.fieldNames()])
+
+
+def _all_triples_expr() -> Column:
+    # cache key = the py4j gateway: Column objects are JVM expression trees
+    # that outlive SparkSessions but not the gateway process
+    from pyspark import SparkContext
+
+    key = id(SparkContext._gateway)
+    if _EXPR_CACHE.get("gateway") == key:
+        return _EXPR_CACHE["all_triples"]
     subj = F.col("uri")
     kind = F.col("kind")
 
@@ -289,6 +313,6 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
         made_by,
         resolved,
     )
-
-    out = e.select("repo", F.explode(all_triples).alias("t")).select("repo", "t.*")
-    return out.select([F.col(c) for c in TRIPLE_SCHEMA.fieldNames()])
+    _EXPR_CACHE["gateway"] = key
+    _EXPR_CACHE["all_triples"] = all_triples
+    return all_triples
