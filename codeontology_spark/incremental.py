@@ -230,3 +230,48 @@ def stream_change_rates(
         .trigger(processingTime="1 second")
         .start()
     )
+
+
+def stream_dedup_documents(
+    spark,
+    input_path: str,
+    checkpoint_dir: str,
+    watermark_seconds: int = 30,
+    query_name: str = "deduped_docs",
+):
+    """Streaming exact dedup over a documents stream: keep the FIRST
+    occurrence of each text hash; later duplicates arriving within the
+    watermark are dropped with BOUNDED state
+    (`dropDuplicatesWithinWatermark` evicts hash keys once the watermark
+    passes them — plain dropDuplicates keeps every key forever, a state
+    leak on an unbounded crawl stream). This is the streaming twin of
+    ops.dedup.exact_dedup: at 100 TB/day ingest the dedup key is the same
+    64-hex sha, the state store shards by key hash across executors, and
+    the watermark is the dedup horizon. Emits (doc_id, ts, text_sha,
+    n_chars) to an in-memory sink in append mode; returns the
+    StreamingQuery."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_path)
+    deduped = (
+        stream.withColumn("text_sha", F.sha2(F.col("text"), 256))
+        .withColumn("n_chars", F.length("text"))
+        .withWatermark("ts", f"{watermark_seconds} seconds")
+        .dropDuplicatesWithinWatermark(["text_sha"])
+        .select("doc_id", "ts", "text_sha", "n_chars")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )

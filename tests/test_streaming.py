@@ -85,3 +85,32 @@ def test_stream_change_rates_watermarked_window(spark, tmp_path):
     assert ("2026-01-01T00:00:00", "r1", "updated", 2) in got
     assert ("2026-01-01T00:00:10", "r1", "deleted", 1) in got
     assert ("2026-01-01T00:00:00", "r2", "updated", 1) in got
+
+
+def test_stream_dedup_documents_bounded_state(spark, tmp_path):
+    """Streaming exact-dedup twin of ops.dedup.exact_dedup: duplicates
+    within the watermark are dropped, first occurrence survives."""
+    import json as _json
+
+    from codeontology_spark.incremental import stream_dedup_documents
+
+    inbox = tmp_path / "docs_inbox"
+    ckpt = tmp_path / "docs_ckpt"
+    inbox.mkdir()
+    docs = [
+        {"doc_id": 1, "ts": "2026-01-01T00:00:00", "text": "same boilerplate page"},
+        {"doc_id": 2, "ts": "2026-01-01T00:00:01", "text": "same boilerplate page"},
+        {"doc_id": 3, "ts": "2026-01-01T00:00:02", "text": "a unique document"},
+        {"doc_id": 4, "ts": "2026-01-01T00:00:03", "text": "same boilerplate page"},
+    ]
+    (inbox / "b1.json").write_text("\n".join(_json.dumps(d) for d in docs))
+
+    q = stream_dedup_documents(spark, str(inbox), str(ckpt), query_name="dd_docs")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM dd_docs").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 3]  # first of the dup cluster + the unique doc
+    assert all(len(r.text_sha) == 64 for r in out)
