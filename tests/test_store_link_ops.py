@@ -463,3 +463,25 @@ def test_stage_lineage_emits_one_row_per_repo(spark):
     assert by_repo["r2"].n_files == 1 and by_repo["r2"].n_rows == 1
     assert by_repo["r1"].min_path == "a.js" and by_repo["r1"].max_path == "b.js"
     assert all(r.partition_id == rows[0].partition_id for r in rows)
+
+
+def test_dedup_pair_plans_are_hash_joins(spark):
+    """All near-dup pair generators must plan as hash equi-joins on band
+    keys — never a cartesian/nested-loop pair scan."""
+    import contextlib
+    import io
+
+    docs = _mk_docs(
+        spark, [(i, f"text number {i} plus some words here") for i in range(20)]
+    )
+    for df in (
+        minhash_near_dup_pairs(docs),
+        minhash_banded_pairs(docs),
+        simhash_near_dup_pairs(docs),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
