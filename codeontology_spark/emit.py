@@ -110,7 +110,7 @@ def dedup_colliding_uris(entities: DataFrame) -> DataFrame:
     return others.unionByName(first, allowMissingColumns=True)
 
 
-_EXPR_CACHE: dict[str, Column] = {}
+_EXPR_CACHE: dict[str, object] = {}  # "gateway": weakref, "all_triples": Column
 
 
 def triples_from_entities(entities: DataFrame) -> DataFrame:
@@ -131,11 +131,16 @@ def triples_from_entities(entities: DataFrame) -> DataFrame:
 
 def _all_triples_expr() -> Column:
     # cache key = the py4j gateway: Column objects are JVM expression trees
-    # that outlive SparkSessions but not the gateway process
+    # that outlive SparkSessions but not the gateway process. A weakref is
+    # compared by identity — id() could be reused by a new gateway object
+    # after a restart, validating a stale cache of dead JVM references.
+    import weakref
+
     from pyspark import SparkContext
 
-    key = id(SparkContext._gateway)
-    if _EXPR_CACHE.get("gateway") == key:
+    gw = SparkContext._gateway
+    ref = _EXPR_CACHE.get("gateway")
+    if gw is not None and ref is not None and ref() is gw:
         return _EXPR_CACHE["all_triples"]
     subj = F.col("uri")
     kind = F.col("kind")
@@ -313,6 +318,7 @@ def _all_triples_expr() -> Column:
         made_by,
         resolved,
     )
-    _EXPR_CACHE["gateway"] = key
-    _EXPR_CACHE["all_triples"] = all_triples
+    if gw is not None:
+        _EXPR_CACHE["gateway"] = weakref.ref(gw)
+        _EXPR_CACHE["all_triples"] = all_triples
     return all_triples

@@ -24,7 +24,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: a zero embedding scores 0.0, matching the driver-side
+    # _cos_py — without it the division yields NaN, which sorts GREATEST in
+    # Spark struct max and would hijack kmeans_assign/_argmax_cell ranking
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:

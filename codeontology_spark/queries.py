@@ -291,7 +291,7 @@ def _min_label_reach(verts: DataFrame, edges: DataFrame, max_iters: int = 20) ->
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_outer: int = 10, max_iters: int = 20
+    edges: DataFrame, max_outer: int | None = None, max_iters: int = 20
 ) -> DataFrame:
     """Distributed SCC: iterated trimming + forward/backward min-label
     coloring (the DataFrame form of FW-BW/coloring SCC — Orzan-style).
@@ -310,7 +310,15 @@ def strongly_connected_components(
 
     State is O(V) labels per step — never the O(V·avg-reach) closure the
     round-2 plan materialized. Returns (repo, uri, scc), scc = min member.
+
+    The outer loop runs until every vertex is assigned: each round resolves
+    at least the SCC of the minimum active node, so it terminates in at
+    most #SCC rounds. `max_outer` is a hard safety cap (default 10×
+    max_iters) that RAISES rather than silently dropping the unresolved
+    tail — a chain of >10 non-trivial SCCs used to vanish from the output.
     """
+    if max_outer is None:
+        max_outer = max_iters * 10
     verts = (
         edges.select("repo", F.col("src").alias("uri"))
         .unionByName(edges.select("repo", F.col("dst").alias("uri")))
@@ -361,6 +369,13 @@ def strongly_connected_components(
             e.join(verts.withColumnRenamed("uri", "src"), ["repo", "src"], "left_semi")
             .join(verts.withColumnRenamed("uri", "dst"), ["repo", "dst"], "left_semi")
             .localCheckpoint(eager=True)
+        )
+    if not verts.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components: {verts.count()} vertices still "
+            f"unresolved after {max_outer} rounds — raise max_outer (each "
+            "round is guaranteed to resolve >=1 SCC, so this indicates an "
+            "extremely SCC-chained graph or a bug, not normal input)"
         )
     if assigned is None:  # empty edge set — keep the caller's uri type
         return edges.select(

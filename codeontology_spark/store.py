@@ -83,7 +83,7 @@ def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
         for pdf in batches:
             n_rows += len(pdf)
             if "path" in pdf.columns and len(pdf):
-                for repo, grp in pdf.groupby("repo"):
+                for repo, grp in pdf.groupby("repo", dropna=False):
                     a = acc.setdefault(repo, {"n": 0, "paths": set()})
                     a["n"] += len(grp)
                     a["paths"].update(grp["path"])

@@ -246,6 +246,25 @@ def test_scc_known_components(spark):
                    ("r1", "e"), ("r1", "f"), ("r1", "g")}
 
 
+def test_scc_chain_of_many_cycles_fully_resolves(spark):
+    """Round-3 ADVICE (medium): FW-BW coloring can resolve as little as one
+    SCC per round on a chain of non-trivial SCCs, and the old max_outer=10
+    silently DROPPED the unresolved tail. A chain of 12 two-node cycles
+    (labels increasing downstream — the worst case: only the SCC holding
+    the global min resolves each round) must now come back complete."""
+    rows = []
+    for i in range(12):
+        a, b = f"n{i:02d}a", f"n{i:02d}b"
+        rows += [("r", a, b), ("r", b, a)]  # 2-cycle i
+        if i:
+            rows.append(("r", f"n{i-1:02d}a", a))  # bridge from previous cycle
+    edges = spark.createDataFrame(rows, "repo string, src string, dst string")
+    scc = {r.uri: r.scc for r in Q.strongly_connected_components(edges).collect()}
+    assert len(scc) == 24  # nothing vanished
+    for i in range(12):
+        assert scc[f"n{i:02d}a"] == scc[f"n{i:02d}b"] == f"n{i:02d}a"
+
+
 def test_circular_dependencies_never_materializes_closure(triples, monkeypatch):
     """B7 must run on SCC (frontier-sized state), not the imports+ closure:
     the closure is O(V*avg-reach) rows on a layered mega-repo even when no
