@@ -51,7 +51,21 @@ def prewrite_corpus(n_repos: int, path: str) -> None:
     )
 
 
+def _host() -> tuple[float, int, int]:
+    """(load1, steal_ticks, total_ticks) — per-leg noise stamp so the
+    record itself shows whether a leg ran in a contended window."""
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return load1, (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return -1.0, 0, 0
+
+
 def run_leg(cores: int, n_repos: int, src: str) -> dict:
+    load1, s0, t0 = _host()
     out = subprocess.run(
         [
             sys.executable,
@@ -65,7 +79,14 @@ def run_leg(cores: int, n_repos: int, src: str) -> dict:
         text=True,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    _, s1, t1 = _host()
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    dt = t1 - t0
+    r["host"] = {
+        "load1_start": load1,
+        "steal_pct": round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0,
+    }
+    return r
 
 
 def main() -> None:
@@ -106,6 +127,7 @@ def main() -> None:
         "efficiency_task_run": round(run_s / run_l, 3),
         "efficiency_task_cpu": round(cpu_s / cpu_l, 3),
         "n_triples": legs[large][0]["n_triples"],
+        "host_per_leg": {c: [x.get("host") for x in legs[c]] for c in legs},
     }
     import shutil
 
