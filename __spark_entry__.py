@@ -42,15 +42,20 @@ def _ship_pkg(spark: SparkSession) -> None:
     global _SHIPPED
     if _SHIPPED:
         return
+    # ALWAYS rebuild (once per process): a zip left in /tmp by an earlier
+    # process ships STALE code to the executors — new module attributes
+    # then fail to unpickle inside the UDF. Write-then-rename keeps a
+    # concurrent process from ever shipping a half-written zip.
     zpath = "/tmp/codeontology_spark_pkg.zip"
-    if not os.path.exists(zpath):
-        pkg = os.path.join(_REPO, "codeontology_spark")
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+    tmp_zpath = f"{zpath}.{os.getpid()}.tmp"
+    pkg = os.path.join(_REPO, "codeontology_spark")
+    with zipfile.ZipFile(tmp_zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    os.replace(tmp_zpath, zpath)
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED = True
 
@@ -330,6 +335,26 @@ def _q_graph_simple_paths(spark, sf):
     )
 
 
+def _q_graph_shortest_paths(spark, sf):
+    """B17 path recovery (reachable_with_path): one shortest path per node
+    reachable from 0, lexicographically-min among shortest — the reference's
+    find_neighbors returns a path per reached node (graph_store.py:318-348).
+    The SQL twin enumerates bounded simple paths and ranks by (length,
+    path); the BFS tie-break is closed under the recursion, so rows match
+    byte-for-byte."""
+    from codeontology_spark.queries import reachable_with_path
+
+    edges = _synthetic_multi_edges(spark, sf)
+    seeds = spark.createDataFrame([("g", 0)], "repo string, uri long")
+    out = reachable_with_path(edges, seeds, max_hops=6)
+    path_str = F.array_join(F.expr("transform(path, x -> cast(x as string))"), "->")
+    return out.select(
+        F.col("uri").alias("node"),
+        path_str.alias("path_str"),
+        (F.size("path") - 1).cast("int").alias("length"),
+    )
+
+
 def _q_docs_exact_dedup(spark, sf):
     return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -506,6 +531,21 @@ def _q_kg_docstrings(spark, sf):
     )
 
 
+def _q_media_headers(spark, sf):
+    """REAL multimodal metadata op (no codec libs needed): PNG IHDR +
+    WAV RIFF header decode over a deterministic binary fixture table,
+    Arrow-batched mapInPandas (ops/multimodal.parse_media_headers). The
+    fixture bytes are structurally-valid PNG/WAV headers generated from
+    the media_id, so the oracle is an exact VALUES twin."""
+    from codeontology_spark.ops.multimodal import (
+        parse_media_headers,
+        synth_binary_media,
+    )
+
+    _ship_pkg(spark)
+    return parse_media_headers(synth_binary_media(spark, 8))
+
+
 _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
@@ -569,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_centrality": _q_graph_degree_centrality,
         "graph_density_stats": _q_graph_density_stats,
         "graph_simple_paths": _q_graph_simple_paths,
+        "graph_shortest_paths": _q_graph_shortest_paths,
         # training-data ops: dedup / text analysis / similarity
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_stats": _q_docs_token_stats,
@@ -592,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_circular_modules": _q_kg_circular_modules,
         "kg_blob_hashes": _q_kg_blob_hashes,
         "kg_docstrings": _q_kg_docstrings,
+        "media_headers": _q_media_headers,
         "emb_ann_candidates": _q_emb_ann_candidates,
         "emb_ann_multiprobe": _q_emb_ann_multiprobe,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1024,6 +1066,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(path) - 1 AS INTEGER) AS length
             FROM p WHERE head = 12
         """,
+        "graph_shortest_paths": f"""
+            WITH RECURSIVE e AS ({_MULTI_EDGES_SQL}),
+            p(head, path) AS (
+                SELECT CAST(0 AS BIGINT) AS head,
+                       [CAST(0 AS BIGINT)] AS path
+                UNION ALL
+                SELECT e.dst, list_append(p.path, e.dst)
+                FROM p JOIN e ON e.src = p.head
+                WHERE NOT list_contains(p.path, e.dst)
+                  AND length(p.path) <= 6
+            )
+            SELECT CAST(head AS BIGINT) AS node,
+                   array_to_string(path, '->') AS path_str,
+                   CAST(length(path) - 1 AS INTEGER) AS length
+            FROM (
+                SELECT head, path,
+                       row_number() OVER (
+                           PARTITION BY head ORDER BY length(path), path
+                       ) AS rn
+                FROM p
+            ) WHERE rn = 1
+        """,
         "scc_cycle_nodes": """
             WITH RECURSIVE e AS (
                 SELECT CAST(n_nationkey AS BIGINT) AS src,
@@ -1204,5 +1268,28 @@ def oracle_sql() -> dict[str, str]:
                 'blob:git://fixture/simple5@80abe3c9edd9:simple.js',
                 'ac7973f853189ae472e69ba691ad9a5b1fc1f296231e1cfd15aa93639eaff4d4'
             )) AS t(blob_uri, content_hash)
+        """,
+        # media_headers: exact expected parse of synth_binary_media(8) —
+        # even ids are PNGs (w=16+10i, h=9+5i, depth 8), odd ids are WAVs
+        # (rate=8000*(1+i%3), 2 channels, 500 ms)
+        "media_headers": """
+            SELECT CAST(media_id AS BIGINT) AS media_id, format,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(bit_depth AS INTEGER) AS bit_depth,
+                   CAST(sample_rate_hz AS INTEGER) AS sample_rate_hz,
+                   CAST(n_channels AS INTEGER) AS n_channels,
+                   CAST(duration_ms AS INTEGER) AS duration_ms
+            FROM (VALUES
+                (0, 'png', 16, 9,  8, NULL,  NULL, NULL),
+                (1, 'wav', NULL, NULL, NULL, 16000, 2, 500),
+                (2, 'png', 36, 19, 8, NULL,  NULL, NULL),
+                (3, 'wav', NULL, NULL, NULL, 8000,  2, 500),
+                (4, 'png', 56, 29, 8, NULL,  NULL, NULL),
+                (5, 'wav', NULL, NULL, NULL, 24000, 2, 500),
+                (6, 'png', 76, 39, 8, NULL,  NULL, NULL),
+                (7, 'wav', NULL, NULL, NULL, 16000, 2, 500)
+            ) AS t(media_id, format, width, height, bit_depth,
+                   sample_rate_hz, n_channels, duration_ms)
         """,
     }

@@ -165,14 +165,33 @@ def stream_updates(
         if batch_df.isEmpty():
             return
         events = latest_wins(batch_df)
+        # every touched (repo, path) — including pure deletes, which emit no
+        # triples but must still supersede the base rows for that file — is
+        # recorded with its batch_id so read_current can apply per-file
+        # last-writer-wins (incremental_updater.py:301-357 semantics)
+        (
+            events.select("repo", "path")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{state_dir}/{DELTA_KEYS}")
+        )
         updates = events.filter(F.col("event_type") != "deleted").select(
             "repo", "path", "commit", "lang", "content"
         )
+        if updates.isEmpty():
+            return
         res = build_graph(updates, apply_filters=True, persist=False)
         (
-            res.triples.withColumn("batch_id", F.lit(batch_id))
+            _tag_triples_with_path(res.triples, res.entities)
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
-            .parquet(f"{state_dir}/triples_delta")
+            .parquet(f"{state_dir}/{DELTA_TRIPLES}")
+        )
+        (
+            res.entities.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{state_dir}/{DELTA_ENTITIES}")
         )
 
     return (
@@ -181,6 +200,129 @@ def stream_updates(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+# -- merged reader + compaction over the streamed deltas (VERDICT r3 #3) ----
+
+DELTA_TRIPLES = "triples_delta"
+DELTA_ENTITIES = "entities_delta"
+DELTA_KEYS = "keys_delta"
+
+
+def _tag_triples_with_path(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Attach the owning file's path to every triple of one parse batch.
+
+    Triple subjects are either entity URIs or skolemized bnodes
+    ``_:<tag>|<owner-uri>`` (emit._bnode), so stripping the bnode prefix
+    recovers the owning entity URI; (repo, uri) is unique in the entity
+    table after dedup_colliding_uris, making the join 1:1. The joined side
+    is the batch's own (small) entity projection — broadcast-sized for
+    micro-batches."""
+    owner = F.regexp_replace(F.col("subj"), r"^_:[^|]*\|", "")
+    uri_path = entities.select(
+        "repo", F.col("uri").alias("_owner"), "path"
+    ).distinct()
+    return (
+        triples.withColumn("_owner", owner)
+        .join(uri_path, ["repo", "_owner"])
+        .drop("_owner")
+    )
+
+
+def _read_delta(spark, state_dir: str, name: str) -> DataFrame | None:
+    import os
+
+    path = f"{state_dir}/{name}"
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def read_current(
+    spark, base_triples: DataFrame, base_entities: DataFrame, state_dir: str
+) -> DataFrame:
+    """The queryable merged graph: base snapshot ⊕ streamed deltas with
+    per-(repo, path) LAST-writer-wins by batch_id — the Spark twin of the
+    reference's in-place file update loop
+    (incremental_updater.py:301-357), which leaves the graph queryable
+    after every update. Deleted files (keys with no delta triples) simply
+    drop out.
+
+    Scale shape: the changed-file key set and the per-file winning batch
+    are tiny relative to the base (a stream window's worth of files), so
+    both joins broadcast; the only full-table op is one anti-join of the
+    base against the (broadcastable) superseded-subject set."""
+    keys = _read_delta(spark, state_dir, DELTA_KEYS)
+    if keys is None:
+        return base_triples
+    changed = keys.select("repo", "path").distinct()
+    old_subj = (
+        base_entities.join(F.broadcast(changed), ["repo", "path"])
+        .select("repo", F.col("uri").alias("subj"))
+    )
+    base_kept = base_triples.join(F.broadcast(old_subj), ["repo", "subj"], "left_anti")
+    deltas = _read_delta(spark, state_dir, DELTA_TRIPLES)
+    if deltas is None:
+        return base_kept
+    winner = keys.groupBy("repo", "path").agg(F.max("batch_id").alias("batch_id"))
+    current = deltas.join(F.broadcast(winner), ["repo", "path", "batch_id"]).select(
+        *base_triples.columns
+    )
+    return base_kept.unionByName(current)
+
+
+def read_current_entities(
+    spark, base_entities: DataFrame, state_dir: str
+) -> DataFrame:
+    """Entity-table twin of read_current (C6 bootstrap over the merged
+    state): base entities minus superseded files, plus the winning batch's
+    entities per changed file."""
+    keys = _read_delta(spark, state_dir, DELTA_KEYS)
+    if keys is None:
+        return base_entities
+    changed = keys.select("repo", "path").distinct()
+    kept = base_entities.join(F.broadcast(changed), ["repo", "path"], "left_anti")
+    ents = _read_delta(spark, state_dir, DELTA_ENTITIES)
+    if ents is None:
+        return kept
+    winner = keys.groupBy("repo", "path").agg(F.max("batch_id").alias("batch_id"))
+    current = ents.join(F.broadcast(winner), ["repo", "path", "batch_id"]).select(
+        *base_entities.columns
+    )
+    return kept.unionByName(current)
+
+
+def compact(
+    spark,
+    base_triples: DataFrame,
+    base_entities: DataFrame,
+    state_dir: str,
+    store_base: str,
+    snapshot: str = "compacted",
+) -> str:
+    """Fold the accumulated deltas into a fresh snapshot and clear them —
+    without this the delta directory grows forever and every read_current
+    pays an ever-larger merge. Writes the merged graph to
+    ``{store_base}/snap={snapshot}`` via store.write_triples (pred-
+    partitioned, subject-salted — the layout every B-query prunes on),
+    then removes the delta directories.
+
+    Run at a stream quiesce point (trigger-idle / stopped query): the
+    write fully materializes before any delta file is deleted, but a
+    concurrent micro-batch appending NEW deltas mid-compaction would have
+    them swept away."""
+    import shutil
+
+    from .store import write_triples
+
+    merged = read_current(spark, base_triples, base_entities, state_dir)
+    path = write_triples(merged, store_base, snapshot=snapshot)
+    for name in (DELTA_TRIPLES, DELTA_ENTITIES, DELTA_KEYS):
+        shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
+    return path
 
 
 def stream_change_rates(

@@ -58,15 +58,13 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
 def _cap_bucket(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
     """Deterministically keep the first max_bucket rows (by doc_id) per
     bucket key — bounds any bucket's self-join regardless of skew, and is
-    exactly mirrorable in SQL as a QUALIFY row_number()."""
-    from pyspark.sql import Window
+    exactly mirrorable in SQL as a QUALIFY row_number(). Two-phase
+    (salted pre-cap, then exact) so a mega-bucket never single-task-sorts
+    — see ops/skew.capped_first_rows; output is byte-identical to the
+    plain window, so the SQL oracles are unchanged."""
+    from .skew import capped_first_rows
 
-    w = Window.partitionBy(key).orderBy("doc_id")
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-    )
+    return capped_first_rows(df, key, "doc_id", max_bucket)
 
 
 def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:

@@ -1,9 +1,18 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata. The Spark-side machinery — schema, batching,
-partition sizing, Arrow UDF signatures — is real and tested; the actual
-codec calls are STUBBED behind a deterministic fake because no image/audio
-libraries exist in this container (a deployment swaps `_decode_stub` for
-PIL/ffmpeg inside the same mapInPandas shape).
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata.
+
+Two layers:
+
+1. **Header metadata extraction (`parse_media_headers`) — REAL.** Pure
+   stdlib byte parsing of PNG IHDR (width/height/bit depth) and WAV RIFF
+   (sample rate/channels/duration) inside the Arrow `mapInPandas`
+   machinery — no codec libraries needed, so this is a fully working
+   operator, driver-oracled against a VALUES twin over the deterministic
+   binary fixture table (`synth_binary_media`).
+2. **Pixel/sample decode + feature extraction — declared stub.** Full
+   decode needs PIL/ffmpeg, which this container lacks; `_decode_stub`
+   is a deterministic fake inside the same batch shape a deployment
+   would swap the real codec into.
 """
 
 from __future__ import annotations
@@ -49,6 +58,145 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
             (i, kind, bytearray(payload), f"application/x-fake-{kind}",
              64 + i % 16, 48 + i % 16, 1000 + i * 10)
         )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# -- real header metadata extraction (PNG IHDR / WAV RIFF, stdlib only) ----
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),  # png | wav | unknown
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal structurally-valid PNG prefix: signature + IHDR chunk
+    (length, type, 13-byte payload, CRC32). Deterministic fixture input."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def wav_bytes(sample_rate: int, n_channels: int, n_samples: int,
+              bits_per_sample: int = 16) -> bytes:
+    """Minimal structurally-valid WAV: RIFF/WAVE + fmt + data headers (the
+    data payload itself is zeros, truncated — header parsing only needs
+    the declared sizes)."""
+    import struct
+
+    block_align = n_channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align,
+        bits_per_sample,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def _parse_header(payload: bytes) -> dict:
+    """One media header → typed metadata dict (stdlib struct only)."""
+    import struct
+
+    out = {
+        "format": "unknown", "width": None, "height": None, "bit_depth": None,
+        "sample_rate_hz": None, "n_channels": None, "duration_ms": None,
+    }
+    if payload is None:
+        return out
+    if payload[:8] == _PNG_SIG and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        out.update(format="png", width=w, height=h, bit_depth=payload[24])
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
+        # walk chunks: fmt_ then data (robust to extra chunks in between)
+        pos, rate, channels, byte_rate, data_size = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"fmt " and pos + 24 <= len(payload):
+                _, channels, rate, byte_rate = struct.unpack(
+                    "<HHII", payload[pos + 8:pos + 20]
+                )
+            elif cid == b"data":
+                data_size = csize
+                break  # data payload may be truncated; size field suffices
+            pos += 8 + csize + (csize & 1)
+        if rate:
+            out.update(
+                format="wav", sample_rate_hz=rate, n_channels=channels,
+                duration_ms=(
+                    int(data_size * 1000 // byte_rate)
+                    if data_size is not None and byte_rate else None
+                ),
+            )
+        return out
+    return out
+
+
+def parse_media_headers(media: DataFrame) -> DataFrame:
+    """REAL metadata operator: per-row PNG/WAV header decode over the
+    binary column, Arrow-batched (the only Python work is a few struct
+    unpacks per row on the first ≤64 bytes — the batch never materializes
+    decoded pixels/samples). Unknown formats pass through with nulls
+    rather than failing the batch, the right behavior for a 100 TB crawl
+    where a fraction of payloads is always garbage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = _parse_header(bytes(p) if p is not None else None)
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in HEADER_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=HEADER_SCHEMA)
+
+
+def synth_binary_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Deterministic REAL-format binary fixture: even ids are PNGs, odd ids
+    are WAVs, sizes derived from the id — the driver oracle's VALUES twin
+    lists the expected parse results from the same formulas."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            payload = png_bytes(width=16 + 10 * i, height=9 + 5 * i)
+            rows.append((i, "image", bytearray(payload), "image/png",
+                         16 + 10 * i, 9 + 5 * i, None))
+        else:
+            sr = 8000 * (1 + i % 3)
+            payload = wav_bytes(sample_rate=sr, n_channels=1 + i % 2,
+                                n_samples=sr // 2)  # 500 ms
+            rows.append((i, "audio", bytearray(payload), "audio/wav",
+                         None, None, 500))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 

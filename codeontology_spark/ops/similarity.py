@@ -128,15 +128,10 @@ def ann_multiprobe_candidates(
     distance-d pair matches exactly one probe, so no dedup shuffle is
     needed beyond the aggregate. Hot buckets capped like
     ann_bucket_candidates."""
-    from pyspark.sql import Window
+    from .skew import capped_first_rows
 
     b = lsh_hyperplane_buckets(emb, n_planes, dim)
-    w = Window.partitionBy("bucket").orderBy("vec_id")
-    b = (
-        b.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-    )
+    b = capped_first_rows(b, "bucket", "vec_id", max_bucket)
     probes = [F.col("bucket")]
     for i in range(1, n_probes + 1):
         flipped = F.concat(
@@ -243,17 +238,56 @@ def ivf_topk(
     probed-cell scan is a partition-prunable filter when the corpus is
     written bucketed by cell."""
     cents = kmeans_centroids(emb, k_cells, iters)
-    ranked = sorted(
-        range(k_cells),
-        key=lambda i: (-_cos_py(cents[i], [float(x) for x in query_vec]), i),
-    )
-    probe = ranked[:n_probe]
+    probe = rank_cells(cents, query_vec)[:n_probe]
     assigned = kmeans_assign(emb, cents)
     cells = emb.join(
         assigned.filter(F.col("cell").isin(probe)).select("vec_id"),
         "vec_id",
         "left_semi",
     )
+    return cosine_topk(cells, query_vec, k)
+
+
+def rank_cells(cents: list[list[float]], query_vec) -> list[int]:
+    """Cell ids by descending centroid cosine to the query (ties → smaller
+    id) — the driver-side probe ranking, k·dim work on tiny data."""
+    q = [float(x) for x in query_vec]
+    return sorted(range(len(cents)), key=lambda i: (-_cos_py(cents[i], q), i))
+
+
+def write_ivf_index(emb: DataFrame, cents: list[list[float]], path: str) -> None:
+    """Materialize the IVF index: the corpus written `partitionBy("cell")`
+    so each coarse-quantizer cell is its own directory. This is what makes
+    probing sublinear IN I/O, not just in compute: a probe query's
+    `cell IN (...)` filter becomes partition pruning — the scan reads
+    n_probe directories of the k_cells total and the other cells' bytes
+    are never opened (asserted on the plan's PartitionFilters in tests).
+    At 10⁹ vectors, cells are large parquet files and this is the standard
+    IVF layout."""
+    assigned = kmeans_assign(emb, cents)
+    (
+        emb.join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    cents: list[list[float]],
+    query_vec: list[float],
+    n_probe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """IVF top-k over a materialized index (write_ivf_index): rank cells by
+    centroid cosine driver-side, scan ONLY the n_probe winning directories
+    (partition-pruned), brute-force cosine within them. Same results as
+    ivf_topk with the same centroids — the difference is the probed scan
+    reads n_probe/k_cells of the bytes."""
+    probe = rank_cells(cents, query_vec)[:n_probe]
+    cells = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
     return cosine_topk(cells, query_vec, k)
 
 
@@ -286,16 +320,13 @@ def ann_bucket_candidates(
     within-bucket self-join at max_bucket·(max_bucket−1)/2 pairs no matter
     how skewed the corpus — the standard recall-for-boundedness trade; at
     scale, planes_for_corpus already sizes the expected bucket below the
-    cap, so the cap only trims pathological hot spots."""
-    from pyspark.sql import Window
+    cap, so the cap only trims pathological hot spots. The cap itself is
+    the two-phase skew-safe form (ops/skew.capped_first_rows): identical
+    output, no single-task sort of a mega-bucket."""
+    from .skew import capped_first_rows
 
     b = lsh_hyperplane_buckets(emb, n_planes, dim)
-    w = Window.partitionBy("bucket").orderBy("vec_id")
-    b = (
-        b.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-    )
+    b = capped_first_rows(b, "bucket", "vec_id", max_bucket)
     withv = b.join(emb.select("vec_id", "embedding"), "vec_id")
     a = withv.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket")
     c = withv.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket")

@@ -36,6 +36,54 @@ def typed(t: DataFrame, rdf_class: str, uri: str = "uri") -> DataFrame:
     )
 
 
+# -- B12: raw-query surface (query_engine.py sparql_query entry point) ------
+
+#: Documented Spark-SQL equivalents of the reference's raw SPARQL entry
+#: point, runnable verbatim after register_views(). Keys are descriptions,
+#: values are the SQL.
+EXAMPLE_SQL = {
+    "callers of a named function (B1 twin)": """
+        SELECT e.repo, e.subj AS caller_uri, cn.name AS caller_name
+        FROM edges e
+        JOIN names tn ON tn.repo = e.repo AND tn.uri = e.obj
+        JOIN names cn ON cn.repo = e.repo AND cn.uri = e.subj
+        WHERE e.pred = 'code:calls' AND tn.name = 'add'
+    """,
+    "entity counts by rdf:type (B16 twin)": """
+        SELECT obj AS entity_type, COUNT(*) AS n
+        FROM triples WHERE pred = 'rdf:type' AND obj LIKE 'code:%'
+        GROUP BY obj ORDER BY n DESC, entity_type
+    """,
+    "modules importing a given module (C5 twin)": """
+        SELECT repo, subj AS dependent_module
+        FROM edges
+        WHERE pred = 'code:imports' AND obj LIKE '%moduleB.js#module'
+    """,
+}
+
+
+def register_views(spark, t: DataFrame, prefix: str = "") -> None:
+    """B12 raw-query surface: expose the graph as temp views so users can
+    `spark.sql(...)` directly — the Spark twin of the reference's
+    `sparql_query` raw entry point (query_engine.py:164-189). Views:
+
+    - ``{prefix}triples``: the full (repo, subj, pred, obj, is_uri, dtype)
+      table;
+    - ``{prefix}edges``: URI/bnode-object rows only (the graph's edge set,
+      the slice every traversal starts from);
+    - ``{prefix}names``: (repo, uri, name) from code:hasName.
+
+    See EXAMPLE_SQL for runnable examples. Views are session-scoped
+    metadata only — no data is materialized or cached by registering."""
+    t.createOrReplaceTempView(f"{prefix}triples")
+    (
+        t.filter(F.col("is_uri") | (F.col("dtype") == "bnode"))
+        .select("repo", "subj", "pred", "obj")
+        .createOrReplaceTempView(f"{prefix}edges")
+    )
+    names(t).createOrReplaceTempView(f"{prefix}names")
+
+
 # -- B1/B2: call-edge lookups (query_engine.py:62-74) -----------------------
 
 def functions_calling(t: DataFrame, target_name: str) -> DataFrame:
@@ -225,6 +273,59 @@ def reachable_from(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> Da
     return reached
 
 
+def reachable_with_path(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 20
+) -> DataFrame:
+    """B17 with PATH RECOVERY (VERDICT r3 #6): like reachable_from, but
+    each reached node carries one shortest path from its seed — matching
+    the reference's find_neighbors, which returns a path per reached node
+    (graph_store.py:318-348), and networkx single_source_shortest_path
+    semantics on unweighted graphs (the seed itself appears with the
+    trivial path [seed]).
+
+    Tie-break is deterministic: among equal-length (i.e. all shortest)
+    candidate paths the lexicographically smallest array wins. That choice
+    is CLOSED under the BFS recursion — min over predecessors u of
+    (lexmin-path(u) ++ [v]) is the global lexmin over all shortest paths
+    to v, because equal-length array comparison is decided by the p_u
+    prefix — so a SQL twin that enumerates bounded simple paths and ranks
+    by (length, path) produces byte-identical rows.
+
+    State per hop is frontier-sized with an O(path-length) array per row —
+    paths are bounded by max_hops, so a frontier row costs O(max_hops)
+    strings, not the closure. Returns (repo, uri, path).
+    """
+    frontier = (
+        seeds.select("repo", "uri")
+        .distinct()
+        .withColumn("path", F.array(F.col("uri")))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for _ in range(max_hops):
+        step = (
+            edges.join(
+                F.broadcast(frontier.select("repo", F.col("uri").alias("src"), "path")),
+                ["repo", "src"],
+            )
+            .select(
+                "repo",
+                F.col("dst").alias("uri"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+            .groupBy("repo", "uri")
+            .agg(F.min("path").alias("path"))
+        )
+        step = step.join(
+            visited.select("repo", "uri"), ["repo", "uri"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    return visited
+
+
 def chain_intermediates(edges: DataFrame, starts: DataFrame, ends: DataFrame) -> DataFrame:
     """URIs on some path start →+ mid →+ end: bidirectional bounded BFS —
     forward reachability from the start set ∩ backward reachability from the
@@ -410,9 +511,19 @@ def circular_dependencies(t: DataFrame) -> DataFrame:
     )
 
 
-def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
+def get_context(
+    t: DataFrame, uri: str, depth: int = 1, preds: list[str] | None = None
+) -> DataFrame:
     """B15 k-hop neighborhood (graph_store.py:630-662): all triples whose
     subject is within `depth` undirected hops of `uri`.
+
+    `preds` restricts which RELATIONSHIP types the traversal may walk —
+    the reference's get_context accepts the same filter
+    (query_engine.py:248-295); with preds=["code:calls"] the neighborhood
+    grows only along call edges, though all triples of reached subjects
+    are still returned. The filter lands on the adjacency scan itself
+    (predicate pushdown into the pred-partitioned store → a directory-
+    pruned read), not post-hoc.
 
     The adjacency is symmetrized up front so each hop is a single hash
     equi-join against the broadcast frontier (an OR-condition join would
@@ -420,9 +531,10 @@ def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
     against in tests). `repo` rides through every join: parameter URIs
     strip file paths (quirk §1.3-2) and would otherwise collide across
     repos."""
-    link = t.filter(F.col("is_uri") | (F.col("dtype") == "bnode")).select(
-        "repo", "subj", "obj"
-    )
+    link = t.filter(F.col("is_uri") | (F.col("dtype") == "bnode"))
+    if preds is not None:
+        link = link.filter(F.col("pred").isin(list(preds)))
+    link = link.select("repo", "subj", "obj")
     adj = (
         link.select("repo", F.col("subj").alias("u"), F.col("obj").alias("v"))
         .unionByName(link.select("repo", F.col("obj").alias("u"), F.col("subj").alias("v")))
@@ -433,7 +545,14 @@ def get_context(t: DataFrame, uri: str, depth: int = 1) -> DataFrame:
     deep = depth > 2
     if deep:
         adj = adj.localCheckpoint(eager=False)
-    visited = adj.filter(F.col("u") == uri).select("repo", "u").distinct()
+    # seed from the triple table itself (not the adjacency): the entity's
+    # own triples belong to its context even when no edge of the requested
+    # preds touches it
+    visited = (
+        t.filter(F.col("subj") == uri)
+        .select("repo", F.col("subj").alias("u"))
+        .distinct()
+    )
     frontier = visited
     for _ in range(max(depth, 1)):
         nbrs = (

@@ -253,6 +253,46 @@ def test_minhash_pairs_bounded_on_dup_cluster(spark):
     assert minhash_banded_pairs(docs).count() >= 1
 
 
+def test_two_phase_cap_identical_and_salted_pre_window(spark):
+    """VERDICT r3 #4: the hot-bucket cap must (a) produce byte-identical
+    output to the plain single-window QUALIFY (oracles unchanged) and
+    (b) never feed a mega-bucket to one sort task — the plan's FIRST
+    window partitions by (key, salt), so each lane sorts ~bucket/n_salts
+    rows."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+
+    from codeontology_spark.ops.skew import capped_first_rows
+
+    # skewed fixture: one 5,000-row hot bucket + 50 small buckets
+    rows = [(i, "hot") for i in range(5000)] + [
+        (10_000 + i, f"cold{i % 50}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+
+    got = capped_first_rows(df, "bucket", "doc_id", 64)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    naive = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .drop("_rn")
+    )
+    assert sorted(got.collect()) == sorted(naive.collect())
+    # hot bucket contributes exactly its first 64 doc_ids
+    hot = sorted(r.doc_id for r in got.filter(F.col("bucket") == "hot").collect())
+    assert hot == list(range(64))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # two windows; the first (innermost) one is salted — pmod(xxhash64(...))
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan and "xxhash64" in plan
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 12)
     feats = extract_features(media)
@@ -266,6 +306,43 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=500)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == vids
+
+
+def test_parse_media_headers_real_decode(spark):
+    """The REAL multimodal metadata op (VERDICT r3 #5): stdlib PNG-IHDR /
+    WAV-RIFF decode inside the Arrow batch machinery — exact dims/rates,
+    and garbage payloads degrade to format='unknown' instead of failing
+    the batch."""
+    from codeontology_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        parse_media_headers,
+        png_bytes,
+        synth_binary_media,
+        wav_bytes,
+    )
+
+    got = {r.media_id: r for r in parse_media_headers(synth_binary_media(spark, 8)).collect()}
+    assert got[0].format == "png" and (got[0].width, got[0].height) == (16, 9)
+    assert got[6].format == "png" and (got[6].width, got[6].height) == (76, 39)
+    assert got[1].format == "wav" and got[1].sample_rate_hz == 16000
+    assert got[1].n_channels == 2 and got[1].duration_ms == 500
+    assert got[5].sample_rate_hz == 24000
+
+    # direct byte-level checks incl. garbage + truncated payloads
+    mixed = spark.createDataFrame(
+        [
+            (100, "image", bytearray(png_bytes(1920, 1080, bit_depth=16)), None, None, None, None),
+            (101, "audio", bytearray(wav_bytes(44100, 2, 44100 * 3)), None, None, None, None),
+            (102, "image", bytearray(b"\x00garbage not a header"), None, None, None, None),
+            (103, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00"), None, None, None, None),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in parse_media_headers(mixed).collect()}
+    assert (out[100].width, out[100].height, out[100].bit_depth) == (1920, 1080, 16)
+    assert (out[101].sample_rate_hz, out[101].duration_ms) == (44100, 3000)
+    assert out[102].format == "unknown" and out[102].width is None
+    assert out[103].format == "unknown"  # truncated PNG: too short for IHDR
 
 
 def test_span_triples(spark):
@@ -401,6 +478,56 @@ def test_ivf_kmeans_recall_and_determinism(spark):
     approx = {r.vec_id for r in ivf_topk(emb, q, n_probe=3, k=10, k_cells=8).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """VERDICT r3 #8: the materialized IVF layout. Writing the corpus
+    partitionBy(cell) makes the probe's `cell IN (...)` a PARTITION filter
+    — the scan reads n_probe directories, other cells' bytes never open —
+    and the pruned path returns the same rows as in-memory ivf_topk with
+    the same centroids."""
+    import contextlib
+    import io
+
+    from codeontology_spark.ops.similarity import (
+        ivf_topk_indexed,
+        kmeans_assign,
+        kmeans_centroids,
+        rank_cells,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k_cells=8, iters=2)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, idx)
+
+    q = list(emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"])
+    pruned = ivf_topk_indexed(spark, idx, cents, q, n_probe=3, k=10)
+
+    # equivalence: same rows as the in-memory probe over the same cells
+    probe = rank_cells(cents, q)[:3]
+    assigned = kmeans_assign(emb, cents)
+    mem_cells = emb.join(
+        assigned.filter(F.col("cell").isin(probe)).select("vec_id"), "vec_id", "left_semi"
+    )
+    from codeontology_spark.ops.similarity import cosine_topk
+
+    want = [(r.vec_id, r.cos_sim) for r in cosine_topk(mem_cells, q, 10).collect()]
+    got = [(r.vec_id, r.cos_sim) for r in pruned.collect()]
+    assert got == want
+
+    # plan: the cell filter is a PartitionFilter on the scan, not a
+    # post-scan Filter — directory pruning, the point of the layout
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and "IN" in pf.upper()
 
 
 def test_update_entity_props_batch(spark, built):

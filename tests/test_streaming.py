@@ -51,6 +51,87 @@ def test_stream_updates_end_to_end(spark, tmp_path):
     assert "stale" not in names
 
 
+def test_read_current_merges_base_and_deltas_lww(spark, tmp_path):
+    """VERDICT r3 #3: the merged reader. Base graph has a.js/b.js/c.js; two
+    SEPARATE micro-batches update a.js (v1 then v2) and the second deletes
+    b.js. read_current must show a.js's v2 only (last writer wins by
+    batch_id, across batches AND over the base), no b.js rows, and c.js
+    untouched; compact() folds the merged view into a snapshot and clears
+    the deltas."""
+    from codeontology_spark.incremental import (
+        DELTA_KEYS,
+        DELTA_TRIPLES,
+        compact,
+        read_current,
+        read_current_entities,
+        stream_updates,
+    )
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.store import read_triples
+
+    src = [
+        ("r", "a.js", "c0", "javascript", "function base_a() { return 0; }"),
+        ("r", "b.js", "c0", "javascript", "function base_b() { return 0; }"),
+        ("r", "c.js", "c0", "javascript", "function base_c() { return 0; }"),
+    ]
+    srcp = str(tmp_path / "base_src")
+    spark.createDataFrame(
+        src, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(srcp)
+    base = build_graph(spark.read.parquet(srcp), persist=True)
+
+    inbox = tmp_path / "inbox_lww"
+    state = tmp_path / "state_lww"
+    ckpt = tmp_path / "ckpt_lww"
+    inbox.mkdir()
+
+    def ev(path, ts, content, event_type="updated"):
+        return {"repo": "r", "path": path, "ts": ts, "event_type": event_type,
+                "commit": "c1", "lang": "javascript", "content": content}
+
+    q = stream_updates(spark, str(inbox), str(state), str(ckpt), trigger_seconds=1)
+    try:
+        (inbox / "b1.json").write_text(json.dumps(
+            ev("a.js", "2026-01-01T00:00:00", "function v1_a() { return 1; }")))
+        q.processAllAvailable()
+        (inbox / "b2.json").write_text("\n".join([
+            json.dumps(ev("a.js", "2026-01-01T00:01:00", "function v2_a(x) { return x; }")),
+            json.dumps(ev("b.js", "2026-01-01T00:01:00", None, event_type="deleted")),
+        ]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # two distinct batches actually landed (else LWW across batches is untested)
+    assert (
+        spark.read.parquet(f"{state}/{DELTA_KEYS}")
+        .select("batch_id").distinct().count() == 2
+    )
+
+    merged = read_current(spark, base.triples, base.entities, str(state))
+    names = {r.obj for r in merged.filter(F.col("pred") == "code:hasName").collect()}
+    assert "v2_a" in names and "x" in names      # winning batch, incl. its params
+    assert "v1_a" not in names                   # superseded delta
+    assert "base_a" not in names                 # superseded base
+    assert "base_b" not in names                 # deleted file
+    assert "base_c" in names                     # untouched base file
+    # no stale subjects for a.js: every a.js-located triple is v2's
+    ents = read_current_entities(spark, base.entities, str(state))
+    a_ents = ents.filter(F.col("path") == "a.js")
+    assert {r.name for r in a_ents.filter(F.col("kind") == "function").collect()} == {"v2_a"}
+
+    store_base = str(tmp_path / "store_lww")
+    compact(spark, base.triples, base.entities, str(state), store_base, snapshot="s1")
+    snap = read_triples(spark, store_base, snapshot="s1")
+    snap_names = {r.obj for r in snap.filter(F.col("pred") == "code:hasName").collect()}
+    assert snap_names == names
+    import os
+    assert not os.path.exists(f"{state}/{DELTA_TRIPLES}")
+    # post-compaction: with deltas cleared, read_current is the identity
+    again = read_current(spark, snap, ents, str(state))
+    assert again.count() == snap.count()
+
+
 def test_stream_change_rates_watermarked_window(spark, tmp_path):
     """Watermarked event-time windowed aggregate: counts land in the right
     window per (repo, event_type); state is bounded by the watermark."""
