@@ -55,7 +55,7 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     return docs.join(canon.select("doc_id", "n_copies"), "doc_id")
 
 
-def _cap_bucket(df: DataFrame, key: str, max_bucket: int) -> DataFrame:
+def _cap_bucket(df: DataFrame, key: str | list[str], max_bucket: int) -> DataFrame:
     """Deterministically keep the first max_bucket rows (by doc_id) per
     bucket key — bounds any bucket's self-join regardless of skew, and is
     exactly mirrorable in SQL as a QUALIFY row_number(). Two-phase
@@ -150,25 +150,30 @@ def minhash_banded_pairs(
     The signature table is localCheckpoint-ed so the shingle explosion +
     min-agg subtree provably runs ONCE, not once per band branch (without
     it each branch of the union re-derives sig; ReusedExchange usually —
-    but not provably — rescues that)."""
+    but not provably — rescues that).
+
+    Plan shape: the b band projections are UNIONED into one (band, bsig)
+    table before ONE composite-key cap and ONE self-join — per-band caps
+    and joins have identical semantics but cost b separate window/join
+    shuffles of the same total bytes plus b× the per-stage overhead (at
+    small scale the extra passes dominated the query; at cluster scale
+    fewer, larger shuffles beat many small ones)."""
     k = bands * rows_per_band
     sig = minhash_wide_signatures(canonical_docs(docs), k, width).localCheckpoint(
         eager=False
     )
-    out = None
+    banded = None
     for bnd in range(bands):
         cols = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        banded = sig.select("doc_id", F.concat(*cols).alias("bsig"))
-        capped = _cap_bucket(banded, "bsig", max_bucket)
-        a = capped.select(F.col("doc_id").alias("a"), "bsig")
-        b = capped.select(F.col("doc_id").alias("b"), "bsig")
-        pairs = (
-            a.join(b, "bsig")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", F.lit(bnd).alias("band"))
+        part = sig.select(
+            F.lit(bnd).alias("band"), F.concat(*cols).alias("bsig"), "doc_id"
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.groupBy("a", "b").agg(
+        banded = part if banded is None else banded.unionByName(part)
+    capped = _cap_bucket(banded, ["band", "bsig"], max_bucket)
+    a = capped.select("band", "bsig", F.col("doc_id").alias("a"))
+    b = capped.select("band", "bsig", F.col("doc_id").alias("b"))
+    pairs = a.join(b, ["band", "bsig"]).filter(F.col("a") < F.col("b"))
+    return pairs.groupBy("a", "b").agg(
         F.count("*").alias("n_bands"), F.min("band").alias("first_band")
     )
 
@@ -282,29 +287,33 @@ def simhash_near_dup_pairs(
         F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(65535)),
         F.col("sim_lo").bitwiseAND(F.lit(65535)),
     ]
-    pairs = None
-    for bv in band_exprs:
-        banded = _cap_bucket(
-            sim.select("doc_id", "sim_hi", "sim_lo", bv.alias("bv")), "bv", max_bucket
+    # union the 4 band projections, then ONE (band, bv) cap and ONE
+    # self-join — same semantics as per-band caps/joins, a quarter of the
+    # window/join passes (see minhash_banded_pairs note)
+    banded = None
+    for bnd, bv in enumerate(band_exprs):
+        part = sim.select(
+            F.lit(bnd).alias("band"), bv.alias("bv"), "doc_id", "sim_hi", "sim_lo"
         )
-        a = banded.select(
-            F.col("doc_id").alias("a"),
-            F.col("sim_hi").alias("sa_hi"),
-            F.col("sim_lo").alias("sa_lo"),
-            "bv",
-        )
-        b = banded.select(
-            F.col("doc_id").alias("b"),
-            F.col("sim_hi").alias("sb_hi"),
-            F.col("sim_lo").alias("sb_lo"),
-            "bv",
-        )
-        p = (
-            a.join(b, "bv")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sa_hi", "sa_lo", "sb_hi", "sb_lo")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        banded = part if banded is None else banded.unionByName(part)
+    capped = _cap_bucket(banded, ["band", "bv"], max_bucket)
+    a = capped.select(
+        "band", "bv",
+        F.col("doc_id").alias("a"),
+        F.col("sim_hi").alias("sa_hi"),
+        F.col("sim_lo").alias("sa_lo"),
+    )
+    b = capped.select(
+        "band", "bv",
+        F.col("doc_id").alias("b"),
+        F.col("sim_hi").alias("sb_hi"),
+        F.col("sim_lo").alias("sb_lo"),
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa_hi", "sa_lo", "sb_hi", "sb_lo")
+    )
     return (
         pairs.distinct()
         .withColumn(

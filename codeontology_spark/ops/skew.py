@@ -18,12 +18,16 @@ N_SALTS = 32  # tasks a hot bucket's phase-1 sort is spread over
 
 
 def capped_first_rows(
-    df: DataFrame, key: str, order_col: str, max_bucket: int, n_salts: int = N_SALTS
+    df: DataFrame,
+    key: str | list[str],
+    order_col: str,
+    max_bucket: int,
+    n_salts: int = N_SALTS,
 ) -> DataFrame:
-    """Keep the first `max_bucket` rows per `key` bucket, ordered by the
-    unique `order_col` — exactly ``QUALIFY row_number() OVER (PARTITION BY
-    key ORDER BY order_col) <= max_bucket``, computed skew-safely in two
-    phases:
+    """Keep the first `max_bucket` rows per `key` bucket (one column name
+    or a composite list), ordered by the unique `order_col` — exactly
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY order_col) <=
+    max_bucket``, computed skew-safely in two phases:
 
     1. **salted pre-cap**: row_number over (key, hash(order_col) % n_salts)
        keeps ≤ max_bucket rows per salt lane. Each lane of a hot bucket
@@ -37,14 +41,15 @@ def capped_first_rows(
     single-window form already paid; the only extra cost is phase 2 over
     the pre-capped (tiny) table. `order_col` must be unique per row (doc
     ids / vec ids are) so both forms are deterministic."""
+    keys = [key] if isinstance(key, str) else list(key)
     salt = F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(n_salts))
-    w1 = Window.partitionBy(F.col(key), salt).orderBy(order_col)
+    w1 = Window.partitionBy(*[F.col(k) for k in keys], salt).orderBy(order_col)
     pre = (
         df.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
     )
-    w2 = Window.partitionBy(key).orderBy(order_col)
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
     return (
         pre.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= max_bucket)
