@@ -359,6 +359,31 @@ def _q_docs_exact_dedup(spark, sf):
     return D.exact_dedup(_read(spark, sf, "documents"))
 
 
+def _q_docs_repetition(spark, sf):
+    """Word-repetition quality signals (Gopher-style repetition filter
+    inputs) over the real documents table — two map-side-combinable
+    aggregations, no Python."""
+    return TX.repetition_stats(_read(spark, sf, "documents"))
+
+
+_PII_FIXTURE = [
+    (1, "contact john.doe+spam@example.org or admin@sub.example.co.uk today"),
+    (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+    (3, "call +1-555-867-5309 or +44-20-79460000 now"),
+    (4, "no pii here at all"),
+    (5, "mixed: bob@corp.io from 8.8.8.8 dialed +33-1-23456789"),
+]
+
+
+def _q_docs_pii_redact(spark, sf):
+    """PII scrub op over a deterministic fixture. The oracle applies the
+    IDENTICAL regex patterns in DuckDB (RE2) — the patterns are restricted
+    to the dialect intersection, and this query proves replacement AND
+    match-count parity rather than pinning expected strings."""
+    docs = spark.createDataFrame(_PII_FIXTURE, "doc_id long, text string")
+    return TX.redact_pii(docs)
+
+
 def _q_docs_token_stats(spark, sf):
     out = TX.token_stats(_read(spark, sf, "documents"))
     return out.select(
@@ -612,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": _q_graph_shortest_paths,
         # training-data ops: dedup / text analysis / similarity
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_repetition": _q_docs_repetition,
+        "docs_pii_redact": _q_docs_pii_redact,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
@@ -915,7 +942,45 @@ def oracle_sql() -> dict[str, str]:
     mh_mins = " || ".join(
         f"min(substr(sha256(sh), {i * 8 + 1}, 8))" for i in range(8)
     )
+    # PII twin: the IDENTICAL patterns run in DuckDB (RE2); built by
+    # concatenation because the patterns contain {m,n} braces and % chars
+    # that break f-strings/str.format. Single-quoted SQL literals do not
+    # process backslashes, so \d/\b embed verbatim.
+    pii_rows = ", ".join(
+        "({}, '{}')".format(i, t) for i, t in _PII_FIXTURE
+    )
+    pii_sql = (
+        "WITH pii(doc_id, text) AS (VALUES " + pii_rows + ") "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(text, '"
+        + TX.EMAIL_RE + "', '<EMAIL>', 'g'), '"
+        + TX.IPV4_RE + "', '<IP>', 'g'), '"
+        + TX.PHONE_RE + "', '<PHONE>', 'g') AS redacted, "
+        "CAST(len(regexp_extract_all(text, '" + TX.EMAIL_RE + "')) AS INTEGER) AS n_emails, "
+        "CAST(len(regexp_extract_all(text, '" + TX.IPV4_RE + "')) AS INTEGER) AS n_ipv4, "
+        "CAST(len(regexp_extract_all(text, '" + TX.PHONE_RE + "')) AS INTEGER) AS n_phones "
+        "FROM pii"
+    )
     return {
+        "docs_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                              x -> x <> '')) AS w
+                    FROM documents
+                )
+            ), pw AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                   ROUND(1 - COUNT(*)::DOUBLE / SUM(c), 4) AS dup_word_ratio,
+                   ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_word_share
+            FROM pw GROUP BY doc_id
+        """,
+        "docs_pii_redact": pii_sql,
         "tpch_q1_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

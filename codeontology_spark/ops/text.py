@@ -80,6 +80,68 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Word-repetition quality signals (Gopher-style repetition filters):
+    per document, total / distinct word counts, the duplicate-word ratio
+    and the most-frequent-word share. Two map-side-combinable aggregations
+    — (doc_id, word) counts then a per-doc rollup — so the plan is two
+    partial-agg shuffles and no per-row Python at any corpus size.
+    Returns (doc_id, n_words, n_distinct_words, dup_word_ratio,
+    top_word_share)."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+    per_word = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 4).alias(
+            "dup_word_ratio"
+        ),
+        F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_share"),
+    )
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# restricted to syntax with identical semantics in both dialects — no
+# lookaround, no backrefs; \b, \d and {m,} behave the same.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d\-]{7,}\d"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4 addresses /
+    international-format phone numbers with typed placeholder tokens, and
+    count each category (counted on the ORIGINAL text, so counts are
+    independent of replacement order). Pure regexp codegen — the standard
+    pre-tokenization scrub pass of an LLM data pipeline, O(len) per doc.
+    Emails are redacted before phones so a '+'-digit sequence inside a
+    local-part can't double-fire. Returns (doc_id, redacted, n_emails,
+    n_ipv4, n_phones)."""
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))  # noqa: E731
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n(EMAIL_RE).alias("n_emails"),
+        n(IPV4_RE).alias("n_ipv4"),
+        n(PHONE_RE).alias("n_phones"),
+    )
+
+
 def clean_corpus(docs: DataFrame, min_alpha: float = 0.6, min_len: int = 64) -> DataFrame:
     """Composite training-data cleaning pipeline — the shape a pretraining
     corpus pass actually runs, as ONE declarative plan Catalyst can fuse:

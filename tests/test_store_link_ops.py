@@ -308,6 +308,32 @@ def test_multimodal_plumbing(spark):
     assert plan.select("media_id").distinct().count() == vids
 
 
+def test_redact_pii_and_repetition_stats(spark):
+    """New LLM-pipeline text ops: PII scrub pins concrete replacements and
+    per-category counts; repetition stats match hand-computed values."""
+    from codeontology_spark.ops.text import redact_pii, repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "email bob@corp.io from 8.8.8.8 dialed +33-1-23456789 twice"),
+            (2, "no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].redacted == "email <EMAIL> from <IP> dialed <PHONE> twice"
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (1, 1, 1)
+    assert out[2].redacted == "no pii" and out[2].n_emails == 0
+
+    rep_docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: r for r in repetition_stats(rep_docs).collect()}
+    assert (rep[1].n_words, rep[1].n_distinct_words) == (4, 2)
+    assert rep[1].dup_word_ratio == 0.5 and rep[1].top_word_share == 0.75
+    assert rep[2].dup_word_ratio == 0.0 and rep[2].top_word_share == round(1 / 3, 4)
+
+
 def test_parse_media_headers_real_decode(spark):
     """The REAL multimodal metadata op (VERDICT r3 #5): stdlib PNG-IHDR /
     WAV-RIFF decode inside the Arrow batch machinery — exact dims/rates,
