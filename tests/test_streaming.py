@@ -132,6 +132,58 @@ def test_read_current_merges_base_and_deltas_lww(spark, tmp_path):
     assert again.count() == snap.count()
 
 
+def test_stream_updates_restart_from_checkpoint(spark, tmp_path):
+    """C3 durability: stopping the stream and starting a NEW query over the
+    same checkpoint must (a) not reprocess the already-committed batch and
+    (b) continue batch_id numbering, so read_current's last-writer-wins
+    stays correct across restarts."""
+    from codeontology_spark.incremental import (
+        DELTA_KEYS,
+        read_current,
+        stream_updates,
+    )
+    from codeontology_spark.pipeline import build_graph
+
+    src = [("r", "f.js", "c0", "javascript", "function base_f() { return 0; }")]
+    srcp = str(tmp_path / "restart_src")
+    spark.createDataFrame(
+        src, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(srcp)
+    base = build_graph(spark.read.parquet(srcp), persist=True)
+
+    inbox = tmp_path / "inbox_rs"
+    state = tmp_path / "state_rs"
+    ckpt = tmp_path / "ckpt_rs"
+    inbox.mkdir()
+
+    def ev(ts, content):
+        return {"repo": "r", "path": "f.js", "ts": ts, "event_type": "updated",
+                "commit": "c1", "lang": "javascript", "content": content}
+
+    q1 = stream_updates(spark, str(inbox), str(state), str(ckpt), trigger_seconds=1)
+    try:
+        (inbox / "b1.json").write_text(json.dumps(
+            ev("2026-01-01T00:00:00", "function gen1_f() { return 1; }")))
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    q2 = stream_updates(spark, str(inbox), str(state), str(ckpt), trigger_seconds=1)
+    try:
+        (inbox / "b2.json").write_text(json.dumps(
+            ev("2026-01-01T00:01:00", "function gen2_f(x) { return x; }")))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    keys = spark.read.parquet(f"{state}/{DELTA_KEYS}")
+    batch_ids = sorted(r.batch_id for r in keys.select("batch_id").distinct().collect())
+    assert len(batch_ids) == 2 and batch_ids[0] < batch_ids[1]  # no replay, ids advance
+    merged = read_current(spark, base.triples, base.entities, str(state))
+    names = {r.obj for r in merged.filter(F.col("pred") == "code:hasName").collect()}
+    assert "gen2_f" in names and "gen1_f" not in names and "base_f" not in names
+
+
 def test_stream_change_rates_watermarked_window(spark, tmp_path):
     """Watermarked event-time windowed aggregate: counts land in the right
     window per (repo, event_type); state is bounded by the watermark."""
