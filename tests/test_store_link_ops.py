@@ -308,6 +308,46 @@ def test_multimodal_plumbing(spark):
     assert plan.select("media_id").distinct().count() == vids
 
 
+def test_read_source_dir_end_to_end(spark, tmp_path):
+    """Directory ingestion (A1 as a distributed binaryFile scan): the tree
+    lands in the input-table shape with root-relative paths and extension
+    language dispatch; discovery filters drop node_modules / oversized /
+    test files; and the rows feed build_graph unchanged."""
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.sources import read_source_dir
+
+    root = tmp_path / "myrepo"
+    (root / "src").mkdir(parents=True)
+    (root / "node_modules" / "dep").mkdir(parents=True)
+    (root / "src" / "app.js").write_text("function appMain() { return 1; }\n")
+    (root / "src" / "types.ts").write_text("interface Shape { x: number; }\n")
+    (root / "src" / "app.test.js").write_text("function t() {}\n")
+    (root / "node_modules" / "dep" / "index.js").write_text("function dep() {}\n")
+    (root / "big.js").write_text("// " + "x" * (1024 * 1024) + "\n")  # > 1 MiB: dropped pre-read
+    (root / "README.md").write_text("docs\n")
+
+    src = read_source_dir(spark, str(root), commit="c0")
+    rows = {r.path: r for r in src.collect()}
+    assert set(rows) == {"src/app.js", "src/types.ts"}
+    assert rows["src/app.js"].lang == "javascript"
+    assert rows["src/types.ts"].lang == "typescript"
+    assert rows["src/app.js"].repo == "myrepo" and rows["src/app.js"].commit == "c0"
+    assert "appMain" in rows["src/app.js"].content
+
+    res = build_graph(src)
+    names = {
+        r.obj for r in res.triples.filter(F.col("pred") == "code:hasName").collect()
+    }
+    assert "appMain" in names and "Shape" in names
+    assert "dep" not in names and "t" not in names
+
+    # unfiltered mode surfaces everything under the size cut, for callers
+    # that do their own predicates
+    raw = read_source_dir(spark, str(root), apply_discovery_filter=False)
+    raw_paths = {r.path for r in raw.collect()}
+    assert "README.md" in raw_paths and "node_modules/dep/index.js" in raw_paths
+
+
 def test_redact_pii_and_repetition_stats(spark):
     """New LLM-pipeline text ops: PII scrub pins concrete replacements and
     per-category counts; repetition stats match hand-computed values."""
