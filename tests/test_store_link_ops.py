@@ -308,6 +308,50 @@ def test_multimodal_plumbing(spark):
     assert plan.select("media_id").distinct().count() == vids
 
 
+def test_ntriples_roundtrip(spark, tmp_path, built):
+    """Distributed N-Triples export/import: the fixture graph round-trips
+    exactly (bnodes under the deterministic _:b<md5> relabeling, literals
+    with escaping, typed literals, prefix expansion/contraction), and the
+    export is line-parallel (plain text shards per partition)."""
+    import hashlib
+
+    from codeontology_spark.rdfio import nt_lines, read_ntriples, write_ntriples
+
+    _, res = built
+    t = res.triples
+
+    # escaping edge cases ride along as extra rows
+    extra = spark.createDataFrame(
+        [
+            ("fixture/simple5", "u:e", "code:hasName", 'quote " back \\ nl \n tab \t end', False, "string"),
+            ("fixture/simple5", "u:e", "code:lineNumber", "7", False, "integer"),
+        ],
+        t.schema,
+    )
+    t = t.unionByName(extra)
+
+    out = str(tmp_path / "nt_export")
+    write_ntriples(t, out)
+    back = read_ntriples(spark, out)
+
+    def relabel(v):
+        return "_:b" + hashlib.md5(v.encode()).hexdigest() if v.startswith("_:") else v
+
+    want = {
+        (r.repo, relabel(r.subj), r.pred,
+         relabel(r.obj) if r.dtype == "bnode" else r.obj, r.is_uri, r.dtype)
+        for r in t.collect()
+    }
+    got = {(r.repo, r.subj, r.pred, r.obj, r.is_uri, r.dtype) for r in back.collect()}
+    assert got == want
+    # spot-check the wire format: expanded IRIs, typed literal, escaped text
+    lines = [r.line for r in nt_lines(t).collect()]
+    assert any("<http://codeontology.org/hasName>" in ln for ln in lines)
+    assert any('"7"^^<http://www.w3.org/2001/XMLSchema#integer>' in ln for ln in lines)
+    assert any('\\"' in ln and "\\n" in ln and "\\\\" in ln for ln in lines)
+    assert all(ln.endswith(" .") and "\n" not in ln for ln in lines)
+
+
 def test_read_source_dir_end_to_end(spark, tmp_path):
     """Directory ingestion (A1 as a distributed binaryFile scan): the tree
     lands in the input-table shape with root-relative paths and extension
