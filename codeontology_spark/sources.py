@@ -22,6 +22,21 @@ from .extract import MAX_FILE_BYTES, source_filter
 _TS_EXTS = (".ts", ".tsx")
 
 
+def read_source_jsonl(
+    spark: SparkSession, path: str, apply_discovery_filter: bool = True
+) -> DataFrame:
+    """Source dump ingestion: newline-delimited JSON records with the
+    canonical input fields (repo, path, commit, lang, content) — the
+    common interchange shape for crawled-code dumps. The schema is
+    declared (no sampling-based inference pass over a 100 TB dump); rows
+    missing optional fields surface as nulls and the discovery filter
+    prunes them like any other row."""
+    from .schemas import INPUT_SCHEMA
+
+    df = spark.read.schema(INPUT_SCHEMA).json(path)
+    return source_filter(df) if apply_discovery_filter else df
+
+
 def read_source_dir(
     spark: SparkSession,
     root: str,

@@ -320,12 +320,23 @@ def test_ntriples_roundtrip(spark, tmp_path, built):
     _, res = built
     t = res.triples
 
-    # escaping edge cases ride along as extra rows
+    # escaping edge cases ride along as extra rows — including the
+    # adversarial ones for chained-replace unescaping: literal backslash-n
+    # (escapes to \\n, must NOT come back as a newline), lone backslashes,
+    # runs of quotes, unicode
+    nasty = [
+        'quote " back \\ nl \n tab \t end',
+        "literal-backslash-n: \\n stays two chars",
+        "\\\\ double backslash",
+        '"""',
+        "\\",
+        "\r carriage",
+        "unicode ℝ→∞ ok",
+    ]
     extra = spark.createDataFrame(
-        [
-            ("fixture/simple5", "u:e", "code:hasName", 'quote " back \\ nl \n tab \t end', False, "string"),
-            ("fixture/simple5", "u:e", "code:lineNumber", "7", False, "integer"),
-        ],
+        [("fixture/simple5", f"u:e{i}", "code:hasName", s, False, "string")
+         for i, s in enumerate(nasty)]
+        + [("fixture/simple5", "u:e", "code:lineNumber", "7", False, "integer")],
         t.schema,
     )
     t = t.unionByName(extra)
@@ -390,6 +401,31 @@ def test_read_source_dir_end_to_end(spark, tmp_path):
     raw = read_source_dir(spark, str(root), apply_discovery_filter=False)
     raw_paths = {r.path for r in raw.collect()}
     assert "README.md" in raw_paths and "node_modules/dep/index.js" in raw_paths
+
+
+def test_read_source_jsonl(spark, tmp_path):
+    """JSONL dump ingestion: declared schema (no inference scan), filter
+    pruning, straight into build_graph."""
+    import json as _json
+
+    from codeontology_spark.pipeline import build_graph
+    from codeontology_spark.sources import read_source_jsonl
+
+    recs = [
+        {"repo": "r", "path": "a.js", "commit": "c", "lang": "javascript",
+         "content": "function fromDump() { return 1; }"},
+        {"repo": "r", "path": "skip.test.js", "commit": "c", "lang": "javascript",
+         "content": "function nope() {}"},
+    ]
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in recs))
+    src = read_source_jsonl(spark, str(p))
+    assert {r.path for r in src.collect()} == {"a.js"}
+    names = {
+        r.obj
+        for r in build_graph(src).triples.filter(F.col("pred") == "code:hasName").collect()
+    }
+    assert "fromDump" in names and "nope" not in names
 
 
 def test_redact_pii_and_repetition_stats(spark):
