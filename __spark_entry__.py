@@ -575,6 +575,32 @@ _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
 
+def _q_docs_bpe_tokens(spark, sf):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer match count,
+    dialect-intersection regex) — the brief's second token-count mode."""
+    return TX.bpe_token_stats(_read(spark, sf, "documents"))
+
+
+def _q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    cosine >= 0.95 — the semantic member of the dedup family. The
+    synthetic corpus has no true near-dups (max pair cosine 0.51), so
+    duplicates are PLANTED as a vec_id-shifted copy of the table and the
+    op must recover exactly those planted (cosine 1.0) pairs."""
+    from codeontology_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(shifted),
+        threshold=0.95,
+        n_planes=_ANN_PLANES,
+        max_bucket=_ANN_MAX_BUCKET,
+    )
+
+
 def _q_emb_ann_candidates(spark, sf):
     """ANN scale path: LSH-bucket candidate pairs (deterministic md5-derived
     hyperplanes, hot-bucket cap) + exact cosine re-rank. The construction is
@@ -661,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_blob_hashes": _q_kg_blob_hashes,
         "kg_docstrings": _q_kg_docstrings,
         "media_headers": _q_media_headers,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "emb_near_dup": _q_emb_near_dup,
         "emb_ann_candidates": _q_emb_ann_candidates,
         "emb_ann_multiprobe": _q_emb_ann_multiprobe,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -692,7 +720,7 @@ _STOP_DE = "'der','die','das','und','ist','nicht','ein','zu'"
 _STOP_FR = "'le','la','les','et','est','un','une','dans'"
 
 
-def _ann_oracle_sql() -> str:
+def _ann_oracle_sql(table: str = "embeddings") -> str:
     """SQL twin of ann_bucket_candidates: identical md5-derived hyperplanes
     (verified bit-equal to the Python construction), identical hot-bucket
     cap, identical re-rank."""
@@ -711,7 +739,7 @@ def _ann_oracle_sql() -> str:
     )
     return f"""
         WITH b AS (
-            SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+            SELECT vec_id, embedding, {bits} AS bucket FROM {table}
         ), capped AS (
             SELECT vec_id, embedding, bucket FROM b
             QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
@@ -1247,6 +1275,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.n_chars, 'en' AS lang_guess
             FROM gated g JOIN canon USING (doc_id)
         """,
+        "docs_bpe_tokens": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '" + TX.BPE_RE.replace("'", "''") + "')) AS INTEGER) AS n_bpe_tokens, "
+            "CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens, "
+            "ROUND(len(regexp_extract_all(text, '" + TX.BPE_RE.replace("'", "''") + "')) "
+            "  / greatest(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1), 4) AS bpe_per_word "
+            "FROM documents"
+        ),
+        "emb_near_dup": (
+            # the synthetic corpus has no true near-dups (max pair cosine
+            # 0.51), so duplicates are PLANTED as a vec_id-shifted copy —
+            # the op must find exactly those (cosine 1.0) pairs
+            "WITH embdup AS (SELECT vec_id, label, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000 AS vec_id, label, embedding "
+            "FROM embeddings) "
+            "SELECT * FROM (" + _ann_oracle_sql("embdup") + ") "
+            "WHERE cos_sim >= 0.95"
+        ),
         "emb_ann_candidates": _ann_oracle_sql(),
         "emb_ann_multiprobe": _ann_multiprobe_oracle_sql(),
         "emb_ivf_topk": _ivf_kmeans_oracle_sql(),

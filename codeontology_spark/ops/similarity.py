@@ -291,6 +291,23 @@ def ivf_topk_indexed(
     return cosine_topk(cells, query_vec, k)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    max_bucket: int = 32,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the semantic member of
+    the dedup family (exact/minhash/simhash catch lexical duplication;
+    this catches paraphrases that share an embedding neighborhood).
+    Candidates come from the LSH bucket join (hash shuffle, capped
+    buckets, never O(n²)); the exact cosine filter keeps pairs at or
+    above `threshold`. Returns (a, b, cos_sim)."""
+    cands = ann_bucket_candidates(emb, n_planes=n_planes, dim=dim, max_bucket=max_bucket)
+    return cands.filter(F.col("cos_sim") >= threshold)
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     """Driver-side cosine over two tiny vectors (centroid ranking only) —
     sequential fold, same summation order as the SQL twin."""

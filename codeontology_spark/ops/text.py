@@ -34,6 +34,31 @@ def token_stats(docs: DataFrame) -> DataFrame:
     ).withColumn("chars_per_token", F.round("chars_per_token", 4))
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java-regex/RE2 dialect
+# intersection (the real pattern's \s+(?!\S) lookahead is not RE2-safe):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. Counting matches of this regex approximates BPE token
+# counts the way data-pipeline budgeting does it.
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting (the brief's second token-counting mode):
+    pre-tokenizer match count + the tokens-per-whitespace-word ratio that
+    LLM data budgeting tracks. One regexp pass per doc, O(len), pure
+    codegen."""
+    toks = tokens_col()
+    bpe_n = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        bpe_n.alias("n_bpe_tokens"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.round(bpe_n / F.greatest(F.size(toks), F.lit(1)), 4).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/alpha/stopword ratio heuristics (rounded for oracle parity)."""
     toks = tokens_col()
