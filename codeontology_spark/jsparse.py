@@ -1170,6 +1170,11 @@ class _Extractor:
                             break
                         e += 1
                     end_k = min(e, hi - 1)
+        # a bare `export` / `export default` at EOF leaves decl_k/end_k
+        # past the token list — clamp to the last real token (k itself is
+        # always < hi, so the clamp never moves before the keyword)
+        end_k = min(end_k, hi - 1)
+        decl_k = min(decl_k, hi - 1)
         # trailing semicolon is part of the export_statement node
         has_semi = end_k + 1 < hi and t[end_k + 1].text == ";"
         if has_semi:
