@@ -52,6 +52,27 @@ def test_fallback_parser_total_on_arbitrary_text(content):
         assert e.uri and e.line >= 1
 
 
+def test_parsers_total_on_every_truncation_of_real_constructs():
+    """Deterministic EOF-robustness sweep: every prefix of realistic JS/TS
+    constructs must parse without raising (a crawl truncates files at
+    arbitrary byte offsets all the time). This is the class of bug the
+    hypothesis run found (bare `export` at EOF → IndexError)."""
+    real = [
+        "export default async function f(a, b) { return a; }",
+        "export { a as b, c };",
+        "import { x, y as z } from './m';",
+        "class A extends B { constructor(x) { super(x); } get v() {} }",
+        "const f = async (a = {b: [1,2]}) => ({...a});",
+        "interface I<T extends U> { m(x: T): void; }",
+        "/** doc */ // line\nfunction g() { h(i, j(k)); }",
+        "const s = `tpl ${x + `${y}`} end`;",
+    ]
+    for src in real:
+        for cut in range(len(src) + 1):
+            extract_file("f.ts", src[:cut])
+            extract_file_fallback("f.ts", src[:cut])
+
+
 @settings(max_examples=300, deadline=None)
 @given(payload=st.one_of(st.none(), st.binary(max_size=128)))
 def test_media_header_parser_total_on_arbitrary_bytes(payload):
