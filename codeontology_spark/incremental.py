@@ -268,8 +268,15 @@ def read_current(
     if deltas is None:
         return base_kept
     winner = keys.groupBy("repo", "path").agg(F.max("batch_id").alias("batch_id"))
-    current = deltas.join(F.broadcast(winner), ["repo", "path", "batch_id"]).select(
-        *base_triples.columns
+    # .distinct(): foreachBatch is at-least-once — a crash between the
+    # delta append and the checkpoint commit replays the batch, appending
+    # the same (batch_id-tagged) rows twice; within one parse the triple
+    # rows are unique, so exact-duplicate elimination restores
+    # effectively-once reads
+    current = (
+        deltas.join(F.broadcast(winner), ["repo", "path", "batch_id"])
+        .select(*base_triples.columns)
+        .distinct()
     )
     return base_kept.unionByName(current)
 
@@ -289,8 +296,12 @@ def read_current_entities(
     if ents is None:
         return kept
     winner = keys.groupBy("repo", "path").agg(F.max("batch_id").alias("batch_id"))
-    current = ents.join(F.broadcast(winner), ["repo", "path", "batch_id"]).select(
-        *base_entities.columns
+    # .distinct() guards against at-least-once batch replay (see
+    # read_current); entity rows are unique per (repo, uri) after dedup
+    current = (
+        ents.join(F.broadcast(winner), ["repo", "path", "batch_id"])
+        .select(*base_entities.columns)
+        .distinct()
     )
     return kept.unionByName(current)
 

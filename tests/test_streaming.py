@@ -120,6 +120,17 @@ def test_read_current_merges_base_and_deltas_lww(spark, tmp_path):
     a_ents = ents.filter(F.col("path") == "a.js")
     assert {r.name for r in a_ents.filter(F.col("kind") == "function").collect()} == {"v2_a"}
 
+    # at-least-once replay: re-appending the winning batch's delta rows
+    # (what a crash between append and checkpoint commit produces) must
+    # not duplicate triples in the merged view
+    merged_count = merged.count()
+    winning = spark.read.parquet(f"{state}/{DELTA_TRIPLES}")
+    winning.filter(
+        F.col("batch_id") == winning.agg(F.max("batch_id")).collect()[0][0]
+    ).write.mode("append").parquet(f"{state}/{DELTA_TRIPLES}")
+    remerged = read_current(spark, base.triples, base.entities, str(state))
+    assert remerged.count() == merged_count
+
     store_base = str(tmp_path / "store_lww")
     compact(spark, base.triples, base.entities, str(state), store_base, snapshot="s1")
     snap = read_triples(spark, store_base, snapshot="s1")
