@@ -116,12 +116,26 @@ def _contract_iri(col):
     return out
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
     """Parse an exported .nt directory back into the triple-table shape.
     Bnode labels come back as the deterministic ``_:b<md5>`` relabeling
     (graph-isomorphic to the original skolem ids). Line parsing is one
-    regexp per term — map-only, no Python."""
+    regexp per term — map-only, no Python.
+
+    Lines that don't match the N-Triples grammar are DROPPED by default
+    (blank lines, comments, corrupt shards — the crawl-friendly
+    contract); with ``strict=True`` the first malformed non-empty,
+    non-comment line raises instead."""
     raw = spark.read.text(path)
+    if strict:
+        bad = raw.filter(
+            (F.trim("value") != "")
+            & ~F.col("value").startswith("#")
+            & ~F.col("value").rlike(_NT_RE)
+        )
+        sample = bad.limit(1).collect()
+        if sample:
+            raise ValueError(f"malformed N-Triples line: {sample[0].value[:200]!r}")
     s = F.regexp_extract("value", _NT_RE, 1)
     p = F.regexp_extract("value", _NT_RE, 2)
     o = F.regexp_extract("value", _NT_RE, 3)

@@ -362,6 +362,19 @@ def test_ntriples_roundtrip(spark, tmp_path, built):
     assert any('\\"' in ln and "\\n" in ln and "\\\\" in ln for ln in lines)
     assert all(ln.endswith(" .") and "\n" not in ln for ln in lines)
 
+    # malformed lines: dropped by default, raised under strict
+    import pytest as _pytest
+
+    import os
+
+    os.makedirs(f"{out}/repo=corrupt", exist_ok=True)
+    with open(f"{out}/repo=corrupt/junk.txt", "w") as f:
+        f.write("# comment\n\nnot a triple at all\n")
+    lenient = read_ntriples(spark, out)
+    assert lenient.count() == back.count()  # junk dropped, repo=corrupt empty
+    with _pytest.raises(ValueError, match="malformed"):
+        read_ntriples(spark, out, strict=True)
+
 
 def test_read_source_dir_end_to_end(spark, tmp_path):
     """Directory ingestion (A1 as a distributed binaryFile scan): the tree
