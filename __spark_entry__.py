@@ -575,6 +575,22 @@ _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
 
+def _q_events_sessionize(spark, sf):
+    """Gap-based sessionization via Spark's native session_window (one
+    hash shuffle on user_id; streaming-compatible shape). Oracle: the
+    classic gaps-and-islands SQL."""
+    from codeontology_spark.ops.events import sessionize
+
+    return sessionize(_read(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_docs_chunks(spark, sf):
+    """Token-bounded chunking with overlap (chunk 50, overlap 10) over
+    the documents table — split → explode(sequence) → slice, all
+    codegen."""
+    return TX.chunk_documents(_read(spark, sf, "documents"), 50, 10)
+
+
 def _q_docs_bpe_tokens(spark, sf):
     """BPE-ish token counting (GPT-2-style pre-tokenizer match count,
     dialect-intersection regex) — the brief's second token-count mode."""
@@ -688,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_docstrings": _q_kg_docstrings,
         "media_headers": _q_media_headers,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "docs_chunks": _q_docs_chunks,
+        "events_sessionize": _q_events_sessionize,
         "emb_near_dup": _q_emb_near_dup,
         "emb_ann_candidates": _q_emb_ann_candidates,
         "emb_ann_multiprobe": _q_emb_ann_multiprobe,
@@ -1283,6 +1301,44 @@ def oracle_sql() -> dict[str, str]:
             "  / greatest(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1), 4) AS bpe_per_word "
             "FROM documents"
         ),
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "docs_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), nz AS (
+                SELECT * FROM toks WHERE length(tk) > 0
+            ), starts AS (
+                SELECT doc_id, tk, unnest(range(0, length(tk), 40)) AS s
+                FROM nz
+            )
+            SELECT doc_id,
+                   CAST(s / 40 AS INTEGER) AS chunk_id,
+                   CAST(length(tk[s + 1 : s + 50]) AS INTEGER) AS chunk_n_tokens,
+                   array_to_string(tk[s + 1 : s + 50], ' ') AS chunk_text
+            FROM starts
+        """,
         "emb_near_dup": (
             # the synthetic corpus has no true near-dups (max pair cosine
             # 0.51), so duplicates are PLANTED as a vec_id-shifted copy —

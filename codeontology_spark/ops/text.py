@@ -105,6 +105,37 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Token-bounded document chunking with overlap — the training-data
+    prep step between cleaning and tokenization. Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the tail chunk may be shorter; empty documents yield no
+    chunks. All codegen (split → sequence of starts → explode → slice →
+    array_join): per-row cost O(len), output rows ≈ n_tokens/stride —
+    no shuffle at all until the caller aggregates.
+
+    Returns (doc_id, chunk_id, chunk_n_tokens, chunk_text)."""
+    assert 0 < overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = docs.select("doc_id", tokens_col().alias("tk")).filter(F.size("tk") > 0)
+    starts = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(stride))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("tk"), F.col("s") + 1, chunk_tokens)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Word-repetition quality signals (Gopher-style repetition filters):
     per document, total / distinct word counts, the duplicate-word ratio

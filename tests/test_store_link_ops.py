@@ -441,6 +441,41 @@ def test_read_source_jsonl(spark, tmp_path):
     assert "fromDump" in names and "nope" not in names
 
 
+def test_chunk_documents_and_sessionize(spark):
+    """Chunking: stride/overlap arithmetic, short tail, empty-doc drop.
+    Sessionize: gap >= threshold splits, < threshold merges."""
+    from datetime import datetime
+
+    from codeontology_spark.ops.events import sessionize
+    from codeontology_spark.ops.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12))), (2, "only three words"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    chunks = {(r.doc_id, r.chunk_id): r for r in
+              chunk_documents(docs, chunk_tokens=5, overlap=2).collect()}
+    # doc 1: 12 tokens, stride 3 -> starts 0,3,6,9 -> lengths 5,5,5,3
+    assert [chunks[(1, i)].chunk_n_tokens for i in range(4)] == [5, 5, 5, 3]
+    assert chunks[(1, 0)].chunk_text == "w0 w1 w2 w3 w4"
+    assert chunks[(1, 1)].chunk_text.startswith("w3")  # 2-token overlap
+    assert chunks[(2, 0)].chunk_n_tokens == 3
+    assert not any(d == 3 for d, _ in chunks)  # whitespace-only doc: no chunks
+
+    def ev(eid, uid, minute):
+        return (eid, datetime(2024, 1, 1, minute // 60, minute % 60), uid, "c", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 8, 0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sess = sorted(
+        ((r.user_id, r.n_events) for r in sessionize(events, gap_minutes=30).collect())
+    )
+    # user 7: 0' and 10' merge; 50' is 40' after -> new session. user 8: one.
+    assert sess == [(7, 1), (7, 2), (8, 1)]
+
+
 def test_redact_pii_and_repetition_stats(spark):
     """New LLM-pipeline text ops: PII scrub pins concrete replacements and
     per-category counts; repetition stats match hand-computed values."""
