@@ -231,6 +231,86 @@ def test_stream_change_rates_watermarked_window(spark, tmp_path):
     assert ("2026-01-01T00:00:00", "r2", "updated", 1) in got
 
 
+def test_stream_sessionize_watermarked(spark, tmp_path):
+    """Streaming session windows: sessions are appended once the
+    watermark passes their end — the same session_window aggregate as
+    the batch op, state bounded by the watermark."""
+    from codeontology_spark.ops.events import stream_sessionize
+
+    inbox = tmp_path / "sess_inbox"
+    ckpt = tmp_path / "sess_ckpt"
+    inbox.mkdir()
+
+    def ev(eid, uid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "c", "value": 1.0, "props": "{}"}
+
+    q = stream_sessionize(spark, str(inbox), str(ckpt), gap_minutes=30,
+                          watermark_minutes=60, query_name="sess_t")
+    try:
+        (inbox / "b1.json").write_text("\n".join(json.dumps(e) for e in [
+            ev(1, 7, "2024-01-01T00:00:00"),
+            ev(2, 7, "2024-01-01T00:10:00"),   # merges with ev1
+            ev(3, 7, "2024-01-01T01:00:00"),   # 50' gap -> second session
+        ]))
+        q.processAllAvailable()
+        # advance event time far enough that the watermark closes everything
+        (inbox / "b2.json").write_text(json.dumps(ev(99, 99, "2024-01-01T06:00:00")))
+        q.processAllAvailable()
+        (inbox / "b3.json").write_text(json.dumps(ev(100, 99, "2024-01-01T12:00:00")))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_t WHERE user_id = 7").collect()
+    got = sorted((r.n_events, r.session_start.isoformat()) for r in rows)
+    assert got == [(1, "2024-01-01T01:00:00"), (2, "2024-01-01T00:00:00")]
+
+
+def test_stream_user_activity_custom_state(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-user running totals
+    across micro-batches, flushed + evicted once the user is quiet in
+    EVENT time (watermark-driven timeout — deterministic, no wall-clock
+    sleeps)."""
+    from codeontology_spark.ops.events import stream_user_activity
+
+    inbox = tmp_path / "act_inbox"
+    ckpt = tmp_path / "act_ckpt"
+    inbox.mkdir()
+
+    def ev(eid, uid, ts, v):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "c", "value": v, "props": "{}"}
+
+    q = stream_user_activity(spark, str(inbox), str(ckpt), quiet_seconds=60,
+                             watermark_minutes=10, query_name="act_t")
+    try:
+        (inbox / "b1.json").write_text("\n".join(json.dumps(e) for e in [
+            ev(1, 7, "2024-01-01T00:00:00", 2.5),
+            ev(2, 7, "2024-01-01T00:00:01", 1.5),
+        ]))
+        q.processAllAvailable()
+        # second batch accumulates ONTO the kept state
+        (inbox / "b2.json").write_text(json.dumps(ev(3, 7, "2024-01-01T00:00:02", 6.0)))
+        q.processAllAvailable()
+        rows = {(r.n_events, r.total_value) for r in
+                spark.sql("SELECT * FROM act_t WHERE user_id = 7").collect()}
+        assert (2, 4.0) in rows and (3, 10.0) in rows
+        # advance EVENT time far past user 7's quiet deadline: the
+        # watermark (max ts - 10 min) crosses 00:00:02+60s and the next
+        # batch fires the timeout. Two pokes: watermark used by batch N
+        # comes from batch N-1's data.
+        (inbox / "b3.json").write_text(json.dumps(ev(100, 99, "2024-01-01T02:00:00", 0.0)))
+        q.processAllAvailable()
+        (inbox / "b4.json").write_text(json.dumps(ev(101, 99, "2024-01-01T02:00:01", 0.0)))
+        q.processAllAvailable()
+        flushed = spark.sql(
+            "SELECT * FROM act_t WHERE user_id = 7 AND flushed_by_timeout"
+        ).collect()
+        assert flushed and (flushed[0].n_events, flushed[0].total_value) == (3, 10.0)
+    finally:
+        q.stop()
+
+
 def test_stream_dedup_documents_bounded_state(spark, tmp_path):
     """Streaming exact-dedup twin of ops.dedup.exact_dedup: duplicates
     within the watermark are dropped, first occurrence survives."""
