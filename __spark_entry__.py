@@ -42,20 +42,20 @@ def _ship_pkg(spark: SparkSession) -> None:
     global _SHIPPED
     if _SHIPPED:
         return
-    # ALWAYS rebuild (once per process): a zip left in /tmp by an earlier
-    # process ships STALE code to the executors — new module attributes
-    # then fail to unpickle inside the UDF. Write-then-rename keeps a
-    # concurrent process from ever shipping a half-written zip.
-    zpath = "/tmp/codeontology_spark_pkg.zip"
-    tmp_zpath = f"{zpath}.{os.getpid()}.tmp"
+    # ALWAYS rebuild (once per process) under a PER-PROCESS name: a zip
+    # left in /tmp by an earlier process ships STALE code to the
+    # executors (new module attributes fail to unpickle inside the UDF),
+    # and a SHARED path would race — executors fetch the registered file
+    # lazily, so another process os.replace()-ing it between our
+    # addPyFile and the first task would ship us someone else's build.
+    zpath = f"/tmp/codeontology_spark_pkg_{os.getpid()}.zip"
     pkg = os.path.join(_REPO, "codeontology_spark")
-    with zipfile.ZipFile(tmp_zpath, "w") as z:
+    with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg):
             for f in files:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, _REPO))
-    os.replace(tmp_zpath, zpath)
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED = True
 

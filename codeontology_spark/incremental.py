@@ -165,33 +165,37 @@ def stream_updates(
         if batch_df.isEmpty():
             return
         events = latest_wins(batch_df)
+        updates = events.filter(F.col("event_type") != "deleted").select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        if not updates.isEmpty():
+            res = build_graph(updates, apply_filters=True, persist=False)
+            (
+                _tag_triples_with_path(res.triples, res.entities)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(f"{state_dir}/{DELTA_TRIPLES}")
+            )
+            (
+                res.entities.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(f"{state_dir}/{DELTA_ENTITIES}")
+            )
         # every touched (repo, path) — including pure deletes, which emit no
         # triples but must still supersede the base rows for that file — is
         # recorded with its batch_id so read_current can apply per-file
-        # last-writer-wins (incremental_updater.py:301-357 semantics)
+        # last-writer-wins (incremental_updater.py:301-357 semantics).
+        # Keys are written LAST: they are the batch's commit record — a
+        # crash after the triples append but before the keys append leaves
+        # orphan delta rows (no winning key → ignored, replay overwrites),
+        # whereas keys-first would make a half-written update read as a
+        # DELETE of the file until a replay succeeds
         (
             events.select("repo", "path")
             .distinct()
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(f"{state_dir}/{DELTA_KEYS}")
-        )
-        updates = events.filter(F.col("event_type") != "deleted").select(
-            "repo", "path", "commit", "lang", "content"
-        )
-        if updates.isEmpty():
-            return
-        res = build_graph(updates, apply_filters=True, persist=False)
-        (
-            _tag_triples_with_path(res.triples, res.entities)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{state_dir}/{DELTA_TRIPLES}")
-        )
-        (
-            res.entities.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{state_dir}/{DELTA_ENTITIES}")
         )
 
     return (
@@ -230,15 +234,25 @@ def _tag_triples_with_path(triples: DataFrame, entities: DataFrame) -> DataFrame
 
 
 def _read_delta(spark, state_dir: str, name: str) -> DataFrame | None:
+    """None ONLY for a missing/never-written delta directory. Real read
+    errors (corrupt shards, IO failures) propagate — silently mapping
+    them to None would serve the stale base graph as 'current' with no
+    indication that committed updates were dropped."""
     import os
+
+    from pyspark.errors import AnalysisException
 
     path = f"{state_dir}/{name}"
     if not os.path.exists(path):
         return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # an existing but empty directory (crash before the first shard
+        # landed) has no schema to infer — that is the only benign case
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def read_current(
@@ -261,9 +275,19 @@ def read_current(
     changed = keys.select("repo", "path").distinct()
     old_subj = (
         base_entities.join(F.broadcast(changed), ["repo", "path"])
-        .select("repo", F.col("uri").alias("subj"))
+        .select("repo", F.col("uri").alias("_owner"))
     )
-    base_kept = base_triples.join(F.broadcast(old_subj), ["repo", "subj"], "left_anti")
+    # anti-join by the OWNING ENTITY, not the raw subject: bnode subjects
+    # (_:loc0|<uri>, _:cmt<i>|<uri>, ...) of a superseded file must go
+    # too — matching raw subjects would leave every location/comment
+    # bnode triple of the old parse in the merged view
+    base_kept = (
+        base_triples.withColumn(
+            "_owner", F.regexp_replace(F.col("subj"), r"^_:[^|]*\|", "")
+        )
+        .join(F.broadcast(old_subj), ["repo", "_owner"], "left_anti")
+        .drop("_owner")
+    )
     deltas = _read_delta(spark, state_dir, DELTA_TRIPLES)
     if deltas is None:
         return base_kept
@@ -318,22 +342,39 @@ def compact(
     without this the delta directory grows forever and every read_current
     pays an ever-larger merge. Writes the merged graph to
     ``{store_base}/snap={snapshot}`` via store.write_triples (pred-
-    partitioned, subject-salted — the layout every B-query prunes on),
-    then removes the delta directories.
+    partitioned, subject-salted — the layout every B-query prunes on)
+    AND the merged entity table to
+    ``{store_base}/entities/snap={snapshot}`` (read it back with
+    read_compacted_entities): future read_current calls over the new
+    snapshot need the MATCHING entity table to resolve superseded
+    subjects — the pre-compaction entities would miss every file updated
+    before the compaction. Both writes fully materialize before any
+    delta file is deleted.
 
-    Run at a stream quiesce point (trigger-idle / stopped query): the
-    write fully materializes before any delta file is deleted, but a
-    concurrent micro-batch appending NEW deltas mid-compaction would have
-    them swept away."""
+    Run at a stream quiesce point (trigger-idle / stopped query): a
+    concurrent micro-batch appending NEW deltas mid-compaction would
+    have them swept away."""
     import shutil
 
     from .store import write_triples
 
     merged = read_current(spark, base_triples, base_entities, state_dir)
+    merged_entities = read_current_entities(spark, base_entities, state_dir)
     path = write_triples(merged, store_base, snapshot=snapshot)
+    merged_entities.write.mode("overwrite").parquet(
+        f"{store_base}/entities/snap={snapshot}"
+    )
     for name in (DELTA_TRIPLES, DELTA_ENTITIES, DELTA_KEYS):
         shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
     return path
+
+
+def read_compacted_entities(
+    spark, store_base: str, snapshot: str = "compacted"
+) -> DataFrame:
+    """The entity table compact() persisted beside the triples snapshot —
+    the base_entities argument for read_current over that snapshot."""
+    return spark.read.parquet(f"{store_base}/entities/snap={snapshot}")
 
 
 def stream_change_rates(

@@ -124,6 +124,7 @@ def stream_user_activity(
     keep the query perpetually busy (every trigger schedules another
     batch), livelocking drain-style consumers like
     ``processAllAvailable``."""
+    import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
@@ -138,7 +139,9 @@ def stream_user_activity(
             n += len(pdf)
             total += float(pdf["value"].sum())
             batch_max = pdf["ts"].max()
-            if batch_max is not None:
+            # pandas max() of an all-null ts column is NaT, not None —
+            # .timestamp() on NaT raises and would kill the whole query
+            if pd.notna(batch_max):
                 last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
         total = round(total, 2)
         state.update((n, total, last_ms))

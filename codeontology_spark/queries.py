@@ -545,12 +545,15 @@ def get_context(
     deep = depth > 2
     if deep:
         adj = adj.localCheckpoint(eager=False)
-    # seed from the triple table itself (not the adjacency): the entity's
-    # own triples belong to its context even when no edge of the requested
-    # preds touches it
+    # seed from BOTH the triple table (the entity's own triples belong to
+    # its context even when no edge of the requested preds touches it)
+    # AND the symmetrized adjacency (a URI appearing only as an OBJECT —
+    # an external module target, say — has no subject rows but does have
+    # a neighborhood)
     visited = (
         t.filter(F.col("subj") == uri)
         .select("repo", F.col("subj").alias("u"))
+        .unionByName(adj.filter(F.col("u") == uri).select("repo", "u"))
         .distinct()
     )
     frontier = visited

@@ -61,7 +61,10 @@ def read_source_dir(
       walk would have yielded. The size cut additionally applies to the
       binaryFile `length` column pre-read.
     """
-    base = os.path.abspath(root)
+    import re as _re
+
+    has_scheme = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", root)
+    base = root.rstrip("/") if has_scheme else os.path.abspath(root)
     if repo is None:
         repo = os.path.basename(base.rstrip("/"))
     df = (
@@ -70,13 +73,23 @@ def read_source_dir(
         .load(base)
         .filter(F.col("length") <= MAX_FILE_BYTES)  # pre-read stat filter
     )
-    # strip the scheme + absolute prefix: binaryFile paths look like
-    # file:/abs/dir/sub/file.js
-    prefix = "file:" + base.rstrip("/") + "/"
+    # strip the scheme + root prefix SCHEME-AGNOSTICALLY: binaryFile
+    # reports file:/abs/dir/f.js locally, hdfs://nn/dir/f.js or
+    # s3a://bucket/dir/f.js on cluster filesystems. Compare scheme-less
+    # forms; if nothing matches, keep the FULL scheme-less path — falling
+    # back to the basename would collide same-named files in different
+    # directories (breaking (repo, path)-keyed dedup/LWW) and blind the
+    # discovery filter's directory predicates
+    strip_scheme = r"^[A-Za-z][A-Za-z0-9+.-]*://?"
+    base_noscheme = _re.sub(strip_scheme, "/", "file:" + base if not has_scheme else base).lstrip("/")
+    path_noscheme = F.regexp_replace(F.col("path"), strip_scheme, "")
+    prefix = base_noscheme.rstrip("/") + "/"
     rel = F.when(
-        F.col("path").startswith(prefix),
-        F.expr(f"substring(path, {len(prefix) + 1})"),
-    ).otherwise(F.element_at(F.split(F.col("path"), "/"), -1))
+        path_noscheme.startswith(prefix),
+        F.expr(
+            f"substring(regexp_replace(path, '{strip_scheme}', ''), {len(prefix) + 1})"
+        ),
+    ).otherwise(path_noscheme)
     is_ts = F.lower(rel).rlike(r"\.(ts|tsx)$")
     out = df.select(
         F.lit(repo).alias("repo"),

@@ -53,15 +53,12 @@ def prewrite_corpus(n_repos: int, path: str) -> None:
 
 def _host() -> tuple[float, int, int]:
     """(load1, steal_ticks, total_ticks) — per-leg noise stamp so the
-    record itself shows whether a leg ran in a contended window."""
-    try:
-        with open("/proc/loadavg") as f:
-            load1 = float(f.read().split()[0])
-        with open("/proc/stat") as f:
-            vals = [int(v) for v in f.readline().split()[1:]]
-        return load1, (vals[7] if len(vals) > 7 else 0), sum(vals)
-    except Exception:
-        return -1.0, 0, 0
+    record itself shows whether a leg ran in a contended window. Parsing
+    shared with bench.py (same /proc fields, one place to fix)."""
+    from bench import _cpu_ticks, _load1
+
+    steal, total = _cpu_ticks()
+    return _load1(), steal, total
 
 
 def run_leg(cores: int, n_repos: int, src: str) -> dict:

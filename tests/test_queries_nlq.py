@@ -94,6 +94,20 @@ def test_get_context_pred_filter(triples):
     assert {r.subj for r in none.collect()} == {uri}
 
 
+def test_get_context_object_only_uri(spark):
+    """A URI appearing ONLY as an object (external target with no triples
+    of its own) still has a neighborhood: the adjacency seed covers it."""
+    t = spark.createDataFrame(
+        [
+            ("r", "u:mod", "code:imports", "u:external", True, "uri"),
+            ("r", "u:mod", "code:hasName", "mod", False, "string"),
+        ],
+        "repo string, subj string, pred string, obj string, is_uri boolean, dtype string",
+    )
+    ctx = Q.get_context(t, "u:external", depth=1)
+    assert {r.subj for r in ctx.collect()} == {"u:mod"}
+
+
 def test_register_views_and_example_sql(spark, triples):
     """B12 raw-query surface (VERDICT r3 #9): temp views + the documented
     EXAMPLE_SQL run verbatim via spark.sql, matching the DataFrame twins."""

@@ -115,6 +115,11 @@ def test_read_current_merges_base_and_deltas_lww(spark, tmp_path):
     assert "base_a" not in names                 # superseded base
     assert "base_b" not in names                 # deleted file
     assert "base_c" in names                     # untouched base file
+    # bnode-SUBJECT triples (_:loc0|<uri>, ...) of superseded files must
+    # go too — the anti-join matches by owning entity, not raw subject
+    subjects = {r.subj for r in merged.select("subj").distinct().collect()}
+    assert not any("base_a" in s or "base_b" in s or "v1_a" in s for s in subjects)
+    assert any(s.startswith("_:loc") and "v2_a" in s for s in subjects)
     # no stale subjects for a.js: every a.js-located triple is v2's
     ents = read_current_entities(spark, base.entities, str(state))
     a_ents = ents.filter(F.col("path") == "a.js")
@@ -138,8 +143,17 @@ def test_read_current_merges_base_and_deltas_lww(spark, tmp_path):
     assert snap_names == names
     import os
     assert not os.path.exists(f"{state}/{DELTA_TRIPLES}")
+    # compact also persisted the MERGED entity table — the pre-compaction
+    # entities would miss v2_a and make a later update of a.js leave
+    # v2_a's rows behind
+    from codeontology_spark.incremental import read_compacted_entities
+
+    snap_ents = read_compacted_entities(spark, store_base, snapshot="s1")
+    efuncs = {r.name for r in snap_ents.filter(
+        (F.col("path") == "a.js") & (F.col("kind") == "function")).collect()}
+    assert efuncs == {"v2_a"}
     # post-compaction: with deltas cleared, read_current is the identity
-    again = read_current(spark, snap, ents, str(state))
+    again = read_current(spark, snap, snap_ents, str(state))
     assert again.count() == snap.count()
 
 
