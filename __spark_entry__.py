@@ -57,6 +57,12 @@ def _ship_pkg(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zpath)
+    # Spark copies the file into its own fileserver dir on addPyFile, so
+    # the /tmp original can go at exit — without this every process leaks
+    # one zip per run
+    import atexit
+
+    atexit.register(lambda: os.path.exists(zpath) and os.unlink(zpath))
     _SHIPPED = True
 
 

@@ -64,6 +64,17 @@ def _bnode(tag: str, owner: Column) -> Column:
     return F.concat(F.lit(f"_:{tag}|"), owner)
 
 
+def owner_of(subj: Column) -> Column:
+    """Inverse of _bnode: the owning entity URI of any triple subject —
+    strips the ``_:<tag>|`` skolem prefix; a non-bnode subject IS its own
+    owner. Every consumer that matches triples to their entity (delta
+    tagging, merge anti-joins, file-update/delete rewrites) must use
+    THIS, not the raw subject, or bnode-subject rows (_:loc0|…,
+    _:cmt<i>|…) silently escape the match. Kept beside _bnode so a
+    format change updates both directions together."""
+    return F.regexp_replace(subj, r"^_:[^|]*\|", "")
+
+
 _EMPTY = None  # set lazily: typed empty array literal
 
 

@@ -53,11 +53,22 @@ def apply_file_updates(
     At scale this is a MERGE/partition-overwrite on the (repo, path)
     clustering; here it is the same anti-join ∪ union plan.
     """
+    from .emit import owner_of
+
     keys = changes.select("repo", "path").distinct()
 
-    # triples don't carry path — map via the entity table's uri→path
-    old_subjects = entities.join(keys, ["repo", "path"]).select("repo", F.col("uri").alias("subj"))
-    kept_triples = triples.join(old_subjects, ["repo", "subj"], "left_anti")
+    # triples don't carry path — map via the entity table's uri→path, and
+    # match by OWNING entity (bnode prefix stripped): raw-subject matching
+    # leaves every _:loc/_:cmt bnode row of the old parse behind, which
+    # then conflicts with the re-parse's fresh bnode rows
+    old_subjects = entities.join(keys, ["repo", "path"]).select(
+        "repo", F.col("uri").alias("_owner")
+    )
+    kept_triples = (
+        triples.withColumn("_owner", owner_of(F.col("subj")))
+        .join(old_subjects, ["repo", "_owner"], "left_anti")
+        .drop("_owner")
+    )
     kept_entities = entities.join(keys, ["repo", "path"], "left_anti")
 
     updates = changes.filter(F.col("event_type") != "deleted").select(
@@ -72,8 +83,14 @@ def apply_file_updates(
 
 def delete_entity(triples: DataFrame, uri: str) -> DataFrame:
     """C2 (graph_store.py:197-216): remove triples where the entity is
-    subject or object."""
-    return triples.filter((F.col("subj") != uri) & (F.col("obj") != uri))
+    subject or object — including its skolem-bnode property rows
+    (_:loc0|<uri> line/column triples), which a raw-subject filter would
+    orphan."""
+    from .emit import owner_of
+
+    return triples.filter(
+        (owner_of(F.col("subj")) != uri) & (F.col("obj") != uri)
+    )
 
 
 def update_entity_prop(
@@ -222,7 +239,9 @@ def _tag_triples_with_path(triples: DataFrame, entities: DataFrame) -> DataFrame
     table after dedup_colliding_uris, making the join 1:1. The joined side
     is the batch's own (small) entity projection — broadcast-sized for
     micro-batches."""
-    owner = F.regexp_replace(F.col("subj"), r"^_:[^|]*\|", "")
+    from .emit import owner_of
+
+    owner = owner_of(F.col("subj"))
     uri_path = entities.select(
         "repo", F.col("uri").alias("_owner"), "path"
     ).distinct()
@@ -234,22 +253,20 @@ def _tag_triples_with_path(triples: DataFrame, entities: DataFrame) -> DataFrame
 
 
 def _read_delta(spark, state_dir: str, name: str) -> DataFrame | None:
-    """None ONLY for a missing/never-written delta directory. Real read
-    errors (corrupt shards, IO failures) propagate — silently mapping
-    them to None would serve the stale base graph as 'current' with no
-    indication that committed updates were dropped."""
-    import os
-
+    """None ONLY for a missing/never-written/empty delta directory. Real
+    read errors (corrupt shards, IO failures) propagate — silently
+    mapping them to None would serve the stale base graph as 'current'
+    with no indication that committed updates were dropped. Existence is
+    decided by Spark's own listing (PATH_NOT_FOUND), NOT a driver-local
+    os.path check, so hdfs://s3a:// state dirs behave identically."""
     from pyspark.errors import AnalysisException
 
     path = f"{state_dir}/{name}"
-    if not os.path.exists(path):
-        return None
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        # an existing but empty directory (crash before the first shard
-        # landed) has no schema to infer — that is the only benign case
+        # missing dir, or existing-but-empty (crash before the first
+        # shard landed → no schema to infer) — the only benign cases
         if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
             return None
         raise
@@ -281,10 +298,10 @@ def read_current(
     # (_:loc0|<uri>, _:cmt<i>|<uri>, ...) of a superseded file must go
     # too — matching raw subjects would leave every location/comment
     # bnode triple of the old parse in the merged view
+    from .emit import owner_of
+
     base_kept = (
-        base_triples.withColumn(
-            "_owner", F.regexp_replace(F.col("subj"), r"^_:[^|]*\|", "")
-        )
+        base_triples.withColumn("_owner", owner_of(F.col("subj")))
         .join(F.broadcast(old_subj), ["repo", "_owner"], "left_anti")
         .drop("_owner")
     )

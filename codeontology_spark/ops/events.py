@@ -145,7 +145,12 @@ def stream_user_activity(
                 last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
         total = round(total, 2)
         state.update((n, total, last_ms))
-        state.setTimeoutTimestamp(last_ms + quiet_seconds * 1000)
+        # only arm the timeout once we have a real event time: with
+        # last_ms=0 (all-null ts so far) the deadline would sit BELOW the
+        # current watermark, which setTimeoutTimestamp rejects — killing
+        # the query, the very failure the NaT guard above prevents
+        if last_ms:
+            state.setTimeoutTimestamp(last_ms + quiet_seconds * 1000)
         yield _activity_pdf(user_id, n, total, False)
 
     def _activity_pdf(user_id, n, total, by_timeout):

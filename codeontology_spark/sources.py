@@ -80,8 +80,12 @@ def read_source_dir(
     # back to the basename would collide same-named files in different
     # directories (breaking (repo, path)-keyed dedup/LWW) and blind the
     # discovery filter's directory predicates
-    strip_scheme = r"^[A-Za-z][A-Za-z0-9+.-]*://?"
-    base_noscheme = _re.sub(strip_scheme, "/", "file:" + base if not has_scheme else base).lstrip("/")
+    # strip scheme AND any leading slashes on BOTH sides (file:/abs vs
+    # file:///abs render differently across Hadoop FS configs; an
+    # asymmetric strip would fail the prefix match for every row and
+    # silently fall back to absolute paths)
+    strip_scheme = r"^([A-Za-z][A-Za-z0-9+.-]*:)?/*"
+    base_noscheme = _re.sub(strip_scheme, "", base)
     path_noscheme = F.regexp_replace(F.col("path"), strip_scheme, "")
     prefix = base_noscheme.rstrip("/") + "/"
     rel = F.when(

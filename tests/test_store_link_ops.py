@@ -105,6 +105,12 @@ def test_apply_file_updates(spark, built):
         ).collect()
     }
     assert "onlyOne" in names and "calculate" not in names
+    # bnode-SUBJECT rows of the replaced file must go too: stale
+    # _:loc0|<old uri> location triples would conflict with the re-parse
+    stale_bnodes = new_triples.filter(
+        F.col("subj").startswith("_:") & F.col("subj").contains("simple.js#function_calculate")
+    )
+    assert stale_bnodes.count() == 0
     # other repos untouched
     before = res.triples.filter(F.col("repo") == "fixture/imports2").count()
     after = new_triples.filter(F.col("repo") == "fixture/imports2").count()
@@ -116,6 +122,10 @@ def test_delete_entity(spark, built):
     uri = "http://codebase.local/simple.js#function_add_4"
     out = delete_entity(res.triples, uri)
     assert out.filter((F.col("subj") == uri) | (F.col("obj") == uri)).count() == 0
+    # the entity's skolem-bnode property rows are deleted with it, not
+    # orphaned (_:loc0|<uri> rdf:type/line/column triples)
+    assert out.filter(F.col("subj") == f"_:loc0|{uri}").count() == 0
+    assert res.triples.filter(F.col("subj") == f"_:loc0|{uri}").count() > 0
 
 
 def test_impacted_dependents(spark, built):
