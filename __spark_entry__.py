@@ -577,6 +577,20 @@ def _q_media_headers(spark, sf):
     return parse_media_headers(synth_binary_media(spark, 8))
 
 
+def _q_media_wav_stats(spark, sf):
+    """REAL audio sample decode (VERDICT r4 #8): PCM16 WAVs decoded with
+    stdlib struct + numpy inside mapInPandas; stats are exact int64 sums
+    so the DuckDB twin (which replays the fixture's LCG sample formula
+    via generate_series) hash-matches with no float tolerance."""
+    from codeontology_spark.ops.multimodal import (
+        decode_wav_samples,
+        synth_wav_table,
+    )
+
+    _ship_pkg(spark)
+    return decode_wav_samples(synth_wav_table(spark, 6))
+
+
 _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_blob_hashes": _q_kg_blob_hashes,
         "kg_docstrings": _q_kg_docstrings,
         "media_headers": _q_media_headers,
+        "media_wav_stats": _q_media_wav_stats,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_chunks": _q_docs_chunks,
         "events_sessionize": _q_events_sessionize,
@@ -1464,5 +1479,33 @@ def oracle_sql() -> dict[str, str]:
                 (7, 'wav', NULL, NULL, NULL, 16000, 2, 500)
             ) AS t(media_id, format, width, height, bit_depth,
                    sample_rate_hz, n_channels, duration_ms)
+        """,
+        # media_wav_stats: replay synth_wav_table(6)'s deterministic PCM
+        # formula (sample i of media m = ((i*2499+7+m*97)%65536)-32768,
+        # total samples = (800+160m)*(1+m%2)) and aggregate the SAME
+        # exact-integer stats the Spark decoder computes from the bytes.
+        "media_wav_stats": """
+            WITH m(media_id, sr, ch, total) AS (VALUES
+                (0,  8000, 1,  800),
+                (1, 16000, 2, 1920),
+                (2,  8000, 1, 1120),
+                (3, 16000, 2, 2560),
+                (4,  8000, 1, 1440),
+                (5, 16000, 2, 3200)),
+            s AS (
+                SELECT m.media_id, m.sr, m.ch, m.total,
+                       ((g.i*2499 + 7 + m.media_id*97) % 65536) - 32768 AS amp
+                FROM m, LATERAL (
+                    SELECT unnest(generate_series(0, m.total-1)) AS i) g
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(sr AS INTEGER) AS sample_rate_hz,
+                   CAST(ch AS INTEGER) AS n_channels,
+                   CAST(total/ch AS BIGINT) AS n_frames,
+                   CAST(SUM(amp) AS BIGINT) AS sum_amp,
+                   CAST(SUM(amp*amp) AS BIGINT) AS sum_sq,
+                   CAST(MIN(amp) AS INTEGER) AS min_amp,
+                   CAST(MAX(amp) AS INTEGER) AS max_amp
+            FROM s GROUP BY media_id, sr, ch, total
         """,
     }

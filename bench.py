@@ -201,25 +201,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "total_median": total_median,
-                "sf": sf,
-                "n_triples": n_triples,
-                "triples_per_sec": round(triples_per_sec, 1),
-                "kg_trials_sec": kg_trials,
-                "kg_phases": kg_phases,
-                "host_per_trial": host,
-                "cpus": cpus,
-            }
-        )
+    summary = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_median": total_median,
+        "n_triples": n_triples,
+        "triples_per_sec": round(triples_per_sec, 1),
+        "cpus": cpus,
+    }
+    # Full detail (per-trial host stamps, phase splits, medians) goes to a
+    # FILE; the driver's BENCH_r{N}.json captures only the process tail, and
+    # in round 4 the host_per_trial block pushed the printed summary past
+    # the capture window, truncating the JSON ("parsed": null). The printed
+    # line now carries only the contract fields + small scalars.
+    detail = dict(
+        summary,
+        queries_median=medians,
+        kg_trials_sec=kg_trials,
+        kg_phases=kg_phases,
+        host_per_trial=host,
     )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"[bench] full record: {bench_dir}/last_run.json", file=sys.stderr)
+    except OSError as e:  # read-only checkout: keep the bench usable
+        print(f"[bench] could not write BENCH/last_run.json: {e}", file=sys.stderr)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

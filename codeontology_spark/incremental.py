@@ -370,19 +370,43 @@ def compact(
 
     Run at a stream quiesce point (trigger-idle / stopped query): a
     concurrent micro-batch appending NEW deltas mid-compaction would
-    have them swept away."""
-    import shutil
+    have them swept away.
 
+    Refuses to compact INTO the snapshot the base DataFrame is reading
+    FROM: overwriting a path mid-read fails or corrupts under Spark's
+    lazy evaluation, so a second compaction cycle must target a fresh
+    snapshot name (e.g. an epoch counter) — the default 'compacted' only
+    works for the first cycle over an original-build base."""
     from .store import write_triples
 
+    target = f"{store_base}/snap={snapshot}"
+    target_suffix = "/" + target.lstrip("/")
+    for src in set(base_triples.inputFiles()) | set(base_entities.inputFiles()):
+        # inputFiles() reports scheme-qualified paths (file:/...); compare
+        # scheme-lessly so local and cluster filesystems both trip the guard
+        bare = "/" + src.split(":", 1)[-1].lstrip("/")
+        if bare.startswith(target_suffix + "/") or bare == target_suffix:
+            raise ValueError(
+                f"compact() target snapshot {target!r} is an input of the base "
+                "DataFrame — overwriting a path being read corrupts the read. "
+                "Pass a distinct snapshot name per compaction cycle."
+            )
     merged = read_current(spark, base_triples, base_entities, state_dir)
     merged_entities = read_current_entities(spark, base_entities, state_dir)
     path = write_triples(merged, store_base, snapshot=snapshot)
     merged_entities.write.mode("overwrite").parquet(
         f"{store_base}/entities/snap={snapshot}"
     )
+    # Delete deltas through the Hadoop FileSystem API: _read_delta accepts
+    # hdfs:// / s3a:// state dirs, where a driver-local shutil.rmtree would
+    # silently no-op — compaction would "succeed" while deltas accumulate
+    # forever, the exact growth compaction exists to stop (ADVICE r4).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for name in (DELTA_TRIPLES, DELTA_ENTITIES, DELTA_KEYS):
-        shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
+        p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)  # recursive; returns False if absent — fine
     return path
 
 

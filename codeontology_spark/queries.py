@@ -702,7 +702,13 @@ def betweenness_centrality(
     pinned in tests); the sample is the min-k of xxhash64(uri) per repo —
     deterministic, no RNG.
     Returns (repo, uri, betweenness) with betweenness = accumulated
-    dependency / #sampled-roots in that repo."""
+    dependency / #sampled-roots in that repo.
+
+    What the knob buys (pinned in tests): on a 200-node hub-structured
+    fixture, Spearman rank correlation vs exact Brandes is ≈0.24 at
+    sample_sources=8, ≈0.40 at 32, ≈0.81 at 128, 1.0 at ≥|V|. Expected
+    error shrinks as O(1/√S) (Brandes–Pich); pick S by the rank
+    resolution needed, not graph size."""
     from pyspark.sql import Window
 
     verts = (

@@ -25,6 +25,14 @@ PREFIXES = {
     # graph_store.py:59-60 / ontology_builder.py:31-32
     "code": "http://codeontology.org/",
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    # TBox vocabularies: instance triples never use these, but ontology
+    # preload (turtle.load_ontology, mirroring ontology_builder.py:44-57)
+    # unions owl/rdfs declarations into the same table, and export/import
+    # must round-trip them. No namespace here is a prefix of another, so
+    # the chained contract/expand whens are order-independent.
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
 }
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 # \x00 as the unescape sentinel: absent from source text in practice
@@ -68,6 +76,61 @@ def _unescape_lit(col):
     return F.replace(out, F.lit(_SENTINEL), F.lit("\\"))
 
 
+_CHAR_ESCAPES = {
+    "\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+    "'": "'",
+}
+
+
+def nt_unescape_full(s: str) -> str:
+    """Left-to-right N-Triples string unescape including \\uXXXX /
+    \\UXXXXXXXX numeric escapes (rdflib and most serializers emit them
+    for non-ASCII; the codegen _unescape_lit path covers only the
+    round-trip escapes this module writes — ADVICE r4). Lenient on
+    malformed escapes: bad hex, lone surrogates (unencodable in UTF-8 /
+    Arrow), and out-of-range code points keep their raw escape text so
+    one bad literal never fails a distributed read."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = s[i + 1]
+        width = 6 if e == "u" else 10 if e == "U" else 0
+        if width and i + width <= n:
+            hexpart = s[i + 2 : i + width]
+            try:
+                cp = int(hexpart, 16)
+                if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                    raise ValueError
+                out.append(chr(cp))
+                i += width
+                continue
+            except ValueError:
+                pass
+        if e in _CHAR_ESCAPES:
+            out.append(_CHAR_ESCAPES[e])
+            i += 2
+        else:  # lone backslash before an unknown char: keep raw
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _pd_nt_unescape():
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def unescape(col):
+        return col.map(lambda s: None if s is None else nt_unescape_full(s))
+
+    return unescape
+
+
 def nt_lines(triples: DataFrame) -> DataFrame:
     """(repo, line) — one N-Triples line per triple row, pure codegen."""
     subj = _term_subj(F.col("subj"))
@@ -75,16 +138,14 @@ def nt_lines(triples: DataFrame) -> DataFrame:
     lit = F.concat(F.lit('"'), _escape_lit(F.col("obj")), F.lit('"'))
     typed = {
         dt: F.concat(lit, F.lit(f'^^<{_XSD}{dt}>'))
-        for dt in ("integer", "boolean", "anyURI")
+        for dt in ("integer", "boolean", "anyURI", "decimal", "double")
     }
-    obj = (
-        F.when(F.col("dtype") == "bnode", F.concat(F.lit("_:b"), F.md5(F.col("obj"))))
-        .when(F.col("is_uri"), F.concat(F.lit("<"), _expand_iri(F.col("obj")), F.lit(">")))
-        .when(F.col("dtype") == "integer", typed["integer"])
-        .when(F.col("dtype") == "boolean", typed["boolean"])
-        .when(F.col("dtype") == "anyURI", typed["anyURI"])
-        .otherwise(lit)
-    )
+    obj = F.when(
+        F.col("dtype") == "bnode", F.concat(F.lit("_:b"), F.md5(F.col("obj")))
+    ).when(F.col("is_uri"), F.concat(F.lit("<"), _expand_iri(F.col("obj")), F.lit(">")))
+    for dt, expr in typed.items():
+        obj = obj.when(F.col("dtype") == dt, expr)
+    obj = obj.otherwise(lit)
     return triples.select(
         "repo",
         F.concat_ws(" ", subj, pred, obj).alias("line"),
@@ -146,10 +207,20 @@ def read_ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataF
     subj = F.when(s.startswith("_:"), s).otherwise(
         _contract_iri(F.regexp_extract(s, r"^<(.*)>$", 1))
     )
+    # literals carrying \uXXXX-style escapes (rdflib output, never our own
+    # round-trip) route through a full Python unescaper; the UDF input is
+    # MASKED to null for every other row, so the Arrow transfer is a null
+    # column and the common path stays pure codegen. The rlike also hits
+    # escaped-backslash-then-u ("\\\\u…") — a false positive that is still
+    # decoded correctly because the Python pass parses left-to-right.
+    needs_py = lit_body.rlike(r"\\[uU]")
+    lit_unescaped = F.coalesce(
+        _pd_nt_unescape()(F.when(needs_py, lit_body)), _unescape_lit(lit_body)
+    )
     obj = (
         F.when(is_obj_iri, _contract_iri(F.regexp_extract(o, r"^<(.*)>$", 1)))
         .when(is_obj_bnode, o)
-        .otherwise(_unescape_lit(lit_body))
+        .otherwise(lit_unescaped)
     )
     dtype = (
         F.when(is_obj_bnode, F.lit("bnode"))

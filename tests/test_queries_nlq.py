@@ -388,3 +388,101 @@ def test_get_context_depth4_bounded_plan(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # checkpointed state, not a 4-deep join tree
+
+
+def test_get_context_jobs_and_plan_linear_in_depth(spark):
+    """VERDICT r4 #6: regression guard for the multiplicative-plan bug
+    class fixed in r3 — the Spark JOB count per extra hop must be a
+    constant increment (checkpoint frontier + checkpoint visited +
+    isEmpty per hop) and the FINAL plan size must not grow with depth at
+    all (each hop reads checkpointed RDD state, not a re-derived join
+    tree). Measured via job groups on a 30-node chain."""
+    chain = [("g", f"c{i}", "code:calls", f"c{i+1}", True, "uri") for i in range(30)]
+    t = spark.createDataFrame(
+        chain,
+        "repo string, subj string, pred string, obj string, is_uri boolean, dtype string",
+    )
+    sc = spark.sparkContext
+
+    jobs, plan_lens = {}, {}
+    for depth in (4, 6, 8):
+        grp = f"ctx_linear_{depth}"
+        sc.setJobGroup(grp, "get_context depth sweep")
+        try:
+            df = Q.get_context(t, "c0", depth=depth)
+            assert df.count() == depth + 1  # chain: c0..c<depth>
+        finally:
+            sc.setJobGroup("ctx_linear_done", "")
+        jobs[depth] = len(sc.statusTracker().getJobIdsForGroup(grp))
+        plan_lens[depth] = len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    # linear in depth: equal increments per extra hop (±2 jobs of slack
+    # for AQE re-optimization variance); measured 12 jobs/hop
+    inc_46 = jobs[6] - jobs[4]
+    inc_68 = jobs[8] - jobs[6]
+    assert inc_46 > 0 and abs(inc_68 - inc_46) <= 2, jobs
+    # the multiplicative bug grew the plan with depth; checkpointing
+    # makes the final plan depth-independent
+    assert plan_lens[8] <= 1.2 * plan_lens[4], plan_lens
+
+
+def test_betweenness_sampling_error_bound(spark):
+    """VERDICT r4 #7: what the sample_sources knob buys. On a
+    deterministic 200-node hub graph, Spearman rank correlation between
+    sampled and exact (networkx) Brandes betweenness rises with sample
+    size; the min-k-of-xxhash64 source sample is deterministic, so these
+    floors are stable, not flaky. Measured: ρ ≈ 0.24 / 0.40 / 0.81 at
+    8 / 32 / 128 sources."""
+    import networkx as nx
+    import numpy as np
+
+    n = 200
+    raw = set()
+    for i in range(n):
+        raw.add((i, (i * 7 + 1) % n))
+        raw.add((i, (i * 13 + 5) % n))
+        if i % 9 == 0:
+            raw.add((i, 0))
+        if i % 11 == 0:
+            raw.add((3, i))
+    raw = sorted((f"n{a}", f"n{b}") for a, b in raw if a != b)
+    g = nx.DiGraph(raw)
+    exact = nx.betweenness_centrality(g, normalized=False)
+    nodes = sorted(exact)
+    ex = np.array([exact[u] for u in nodes])
+
+    def spearman(a, b):
+        def avg_rank(x):
+            order = np.argsort(x, kind="stable")
+            r = np.empty(len(x))
+            r[order] = np.arange(len(x), dtype=float)
+            out = np.empty(len(x))
+            by_val = {}
+            for i, v in enumerate(x):
+                by_val.setdefault(v, []).append(i)
+            for idx in by_val.values():
+                out[idx] = np.mean(r[idx])
+            return out
+
+        ra, rb = avg_rank(a), avg_rank(b)
+        ra -= ra.mean()
+        rb -= rb.mean()
+        return float((ra * rb).sum() / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+
+    edges = spark.createDataFrame(
+        [("g", s, d) for s, d in raw], "repo string, src string, dst string"
+    )
+    floors = {8: 0.15, 32: 0.30, 128: 0.70}
+    rhos = {}
+    for s, floor in floors.items():
+        got = {
+            r.uri: r.betweenness
+            for r in Q.betweenness_centrality(
+                edges, sample_sources=s, max_depth=20
+            ).collect()
+        }
+        gv = np.array([got.get(u, 0.0) for u in nodes])
+        rhos[s] = spearman(ex, gv)
+        assert rhos[s] >= floor, rhos
+    # more sources → strictly better rank agreement on this fixture
+    assert rhos[8] < rhos[32] < rhos[128], rhos
