@@ -591,6 +591,47 @@ def _q_media_wav_stats(spark, sf):
     return decode_wav_samples(synth_wav_table(spark, 6))
 
 
+_TTL_FIXTURE = [
+    # (subj, pred, obj, is_uri, dtype): every dtype the writer types,
+    # plus escape-heavy strings (\uXXXX decode path) and unicode
+    ("code:f1", "rdf:type", "code:Function", True, "uri"),
+    ("code:f1", "code:hasName", 'quote " back \\ slash', False, "string"),
+    ("code:f1", "code:docstring", "café → \U0001F680", False, "string"),
+    ("code:f1", "code:lineNumber", "7", False, "integer"),
+    ("code:f1", "code:isAsync", "true", False, "boolean"),
+    ("code:f1", "code:hasURI", "http://x/f1", False, "anyURI"),
+    ("code:f1", "code:score", "2.5", False, "decimal"),
+    ("code:f1", "code:weight", "1.5e2", False, "double"),
+    ("code:f2", "rdf:type", "code:Module", True, "uri"),
+    ("code:f2", "code:hasName", "tab\there\nnewline", False, "string"),
+    ("code:f2", "code:calls", "code:f1", True, "uri"),
+]
+
+
+def _q_rdf_turtle_roundtrip(spark, sf):
+    """Round-5 interop surface under the oracle gate: a deterministic
+    triple fixture → write_turtle (per-repo .ttl documents, the
+    reference's save format) → read_turtle → the table itself. The
+    DuckDB twin is a VALUES copy of the fixture, so any loss or
+    corruption in either direction (escaping, typing, prefix
+    contraction, \\u decode) hash-mismatches. Bnodes are excluded by
+    construction (labels re-mint on read; structure is pinned in
+    pytest instead)."""
+    import tempfile
+
+    from codeontology_spark.schemas import TRIPLE_SCHEMA
+    from codeontology_spark.turtle import read_turtle, write_turtle
+
+    _ship_pkg(spark)
+    src = spark.createDataFrame(
+        [("r", s, p, o, u, d) for s, p, o, u, d in _TTL_FIXTURE], TRIPLE_SCHEMA
+    )
+    out = tempfile.mkdtemp(prefix="ttl_rt_") + "/ttl"
+    write_turtle(src, out, write_metadata=False)
+    back = read_turtle(spark, out)
+    return back.select("repo", "subj", "pred", "obj", "is_uri", "dtype")
+
+
 _ANN_PLANES = 8
 _ANN_MAX_BUCKET = 32
 
@@ -724,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_docstrings": _q_kg_docstrings,
         "media_headers": _q_media_headers,
         "media_wav_stats": _q_media_wav_stats,
+        "rdf_turtle_roundtrip": _q_rdf_turtle_roundtrip,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
         "docs_chunks": _q_docs_chunks,
         "events_sessionize": _q_events_sessionize,
@@ -1507,5 +1549,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(amp) AS INTEGER) AS min_amp,
                    CAST(MAX(amp) AS INTEGER) AS max_amp
             FROM s GROUP BY media_id, sr, ch, total
+        """,
+        # rdf_turtle_roundtrip: the Spark side writes the _TTL_FIXTURE
+        # rows to .ttl and reads them back; the oracle IS the fixture
+        # (VALUES twin) — any write/read corruption hash-mismatches.
+        "rdf_turtle_roundtrip": """
+            SELECT * FROM (VALUES
+                ('r','code:f1','rdf:type','code:Function',true,'uri'),
+                ('r','code:f1','code:hasName',
+                 e'quote " back \\\\ slash',false,'string'),
+                ('r','code:f1','code:docstring',
+                 'café → \U0001F680',false,'string'),
+                ('r','code:f1','code:lineNumber','7',false,'integer'),
+                ('r','code:f1','code:isAsync','true',false,'boolean'),
+                ('r','code:f1','code:hasURI','http://x/f1',false,'anyURI'),
+                ('r','code:f1','code:score','2.5',false,'decimal'),
+                ('r','code:f1','code:weight','1.5e2',false,'double'),
+                ('r','code:f2','rdf:type','code:Module',true,'uri'),
+                ('r','code:f2','code:hasName',
+                 e'tab\\there\\nnewline',false,'string'),
+                ('r','code:f2','code:calls','code:f1',true,'uri')
+            ) AS t(repo, subj, pred, obj, is_uri, dtype)
         """,
     }
