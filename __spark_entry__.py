@@ -744,6 +744,13 @@ def _q_docs_top_vocab(spark, sf):
     return CP.top_vocab(_read(spark, sf, "documents"), k=20)
 
 
+def _q_corpus_mixture_weights(spark, sf):
+    """Per-source data-mixing weights ∝ sqrt(n_tokens), normalized over
+    an exact integer-quantized denominator (engine-portable — no
+    float-sum order sensitivity)."""
+    return CP.mixture_weights(_read(spark, sf, "documents"), alpha=0.5)
+
+
 def _q_docs_dedup_clusters(spark, sf):
     """Near-dup cluster assignment: exact-dup star edges ∪ shingle
     Jaccard ≥ 0.6 edges → connected components → (doc_id, canonical_id)
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_top_vocab": _q_docs_top_vocab,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
+        "corpus_mixture_weights": _q_corpus_mixture_weights,
         "emb_knn": _q_emb_knn,
         "emb_label_centroids": _q_emb_label_centroids,
         # KG pipeline (deterministic fixture corpus → VALUES oracles)
@@ -1538,6 +1546,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, n,
                    CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS rank
             FROM c QUALIFY rank <= 20
+        """,
+        "corpus_mixture_weights": r"""
+            WITH per AS (
+                SELECT source AS source_key, COUNT(*) AS n_docs,
+                       CAST(SUM(len(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), q AS (
+                SELECT *, CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS score_q
+                FROM per
+            ), d AS (SELECT CAST(SUM(score_q) AS BIGINT) AS denom FROM q)
+            SELECT source_key, n_docs, n_tokens,
+                   ROUND(score_q / denom, 6) AS weight
+            FROM q, d
         """,
         "docs_dedup_clusters": """
             WITH RECURSIVE sh0 AS (

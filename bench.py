@@ -165,6 +165,9 @@ def main() -> None:
         "docs_simhash_pairs",
         "docs_minhash_banded_pairs",
         "scc_cycle_nodes",
+        # round-5 corpus-prep family (new keys — absent from prior rounds)
+        "docs_decontaminate",
+        "docs_dedup_clusters",
     ]
     # three CONSECUTIVE trials per query, best as the headline: back-to-back
     # runs keep the query's generated code in the codegen cache (full

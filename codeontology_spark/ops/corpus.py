@@ -200,6 +200,56 @@ def top_vocab(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.5, by: str = "source"
+) -> DataFrame:
+    """Data-mixing weights per corpus source: weight ∝ n_tokens^alpha,
+    the standard temperature-style rebalancing (alpha=1 proportional,
+    alpha=0 uniform, 0<alpha<1 upweights small sources the way
+    multilingual/pretraining mixtures do).
+
+    One map-side-combinable aggregation (the shuffle carries one row per
+    source per partition); the normalization joins against a 1-row agg —
+    Catalyst broadcasts it.
+
+    Determinism across engines: floating sums are order-sensitive, so
+    the denominator is NOT a float sum. Each source's score is quantized
+    to an exact integer floor(n_tokens^alpha * 1e6) first; the
+    denominator is then an exact BIGINT sum (order-free), and the only
+    float op left is one division + round — bit-identical in any engine.
+    alpha=0.5 uses sqrt (IEEE correctly-rounded everywhere); other
+    alphas use pow, whose last-ulp may differ across libm builds (the
+    DuckDB twin pins alpha=0.5).
+    """
+    score = (
+        F.sqrt(F.col("n_tokens"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens"), F.lit(float(alpha)))
+    )
+    per_src = (
+        docs.select(
+            F.col(by).alias("source_key"),
+            F.size(tokens_col(F.lower(F.col("text")))).alias("n_toks"),
+        )
+        .groupBy("source_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn("score_q", F.floor(score * F.lit(1e6)).cast("long"))
+    )
+    denom = per_src.agg(F.sum("score_q").alias("denom"))
+    return (
+        per_src.crossJoin(F.broadcast(denom))
+        .select(
+            "source_key",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("score_q") / F.col("denom"), 6).alias("weight"),
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame, threshold: float = 0.6, max_df: int | None = 64
 ) -> DataFrame:

@@ -117,6 +117,27 @@ def test_top_vocab_matches_python(spark):
     assert got == expect
 
 
+def test_mixture_weights_quantized_arithmetic(spark):
+    import math
+
+    rows = [("a b c d", "en")] * 4 + [("x y", "en")] * 2
+    docs = spark.createDataFrame(
+        [(i, t, lang, "big" if i < 4 else "small", len(t))
+         for i, (t, lang) in enumerate(rows)],
+        DOC_SCHEMA,
+    )
+    out = {r.source_key: r for r in C.mixture_weights(docs).collect()}
+    toks = {"big": 16, "small": 4}  # 4 docs x 4 words, 2 docs x 2 words
+    q = {s: math.floor(math.sqrt(n) * 1e6) for s, n in toks.items()}
+    denom = sum(q.values())
+    for s in toks:
+        assert out[s].n_tokens == toks[s]
+        assert out[s].weight == round(q[s] / denom, 6)
+    # sqrt rebalancing upweights the small source vs proportional
+    assert out["small"].weight > toks["small"] / sum(toks.values())
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 2e-6
+
+
 def _py_jaccard(a, b, width=5):
     sa = {a[i : i + width] for i in range(max(len(a) - width + 1, 1))}
     sb = {b[i : i + width] for i in range(max(len(b) - width + 1, 1))}
