@@ -89,9 +89,11 @@ def decontaminate(
     its word n-grams appears in the benchmark suite.
 
     Plan shape at 100 TB: the benchmark side is exploded to a DISTINCT
-    gram set and broadcast (eval suites are tiny next to the corpus), so
-    the corpus side is one scan + explode + broadcast-hash semi-join +
-    one doc_id agg — no shuffle of corpus text, no all-pairs anything.
+    gram set and broadcast (eval suites are tiny next to the corpus);
+    the corpus side is ONE scan + explode + broadcast-hash LEFT join
+    (hit flag) + one doc_id agg counting total and flagged grams
+    together — the gram subtree is never evaluated twice, no shuffle of
+    corpus text, no all-pairs anything.
 
     Returns one row per input document (including those too short to
     have any n-gram): doc_id, n_grams, n_contaminated, contamination
@@ -100,21 +102,26 @@ def decontaminate(
     bgrams = F.broadcast(
         benchmark.select(
             F.explode(word_ngrams(F.col("text"), n)).alias("gram")
-        ).distinct()
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     grams = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
     ).distinct()
-    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = (
-        grams.join(bgrams, "gram")
+    counts = (
+        grams.join(bgrams, "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
     )
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(counts, "doc_id", "left")
         .na.fill(0, ["n_grams", "n_contaminated"])
         .select(
             "doc_id",

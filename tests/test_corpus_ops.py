@@ -163,6 +163,36 @@ def test_dedup_clusters_transitive(spark):
     assert out == {1: 0, 2: 0, 4: 3}
 
 
+def test_word_ngrams_random_parity(spark):
+    # seeded sweep: 200 random texts (odd whitespace, unicode, empties)
+    # vs a pure-python reference, one Spark job
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["foo", "BAR", "b", "", " ", "\t", "héllo", "1", "x" * 30]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        for _ in range(200)
+    ]
+
+    def py_ngrams(t, n):
+        toks = [w for w in t.lower().split() if w]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (1, 3, 8):
+        got = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", C.word_ngrams(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == py_ngrams(t, n), (n, repr(t))
+
+
 def test_benchmark_slice_shape(spark):
     docs = _docs(
         spark,
