@@ -34,6 +34,7 @@ def write_triples(
     snapshot: str = "latest",
     buckets_per_pred: int = 8,
     num_partitions: int | None = None,
+    write_mode: str = "overwrite",
 ) -> str:
     """Partition by predicate: every template query (B1-B16) filters on
     pred, so pruning turns each into a single-partition scan. repo stays a
@@ -59,7 +60,7 @@ def write_triples(
         if num_partitions
         else triples.repartition(*keys)
     )
-    part.write.mode("overwrite").partitionBy("pred").parquet(path)
+    part.write.mode(write_mode).partitionBy("pred").parquet(path)
     return path
 
 
@@ -109,15 +110,21 @@ def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
     return df.mapInPandas(gen, schema=LINEAGE_SCHEMA)
 
 
-def write_file_lineage(entities: DataFrame, base: str, snapshot: str = "latest") -> str:
+def write_file_lineage(
+    entities: DataFrame,
+    base: str,
+    snapshot: str = "latest",
+    write_mode: str = "overwrite",
+) -> str:
     """File-grain completion ledger: one row per successfully processed
     input file (its module row carries the content sha). This is what
-    resume anti-joins against."""
+    resume anti-joins against. A resumed run appends its newly-completed
+    files (write_mode='append') so the ledger stays cumulative."""
     path = f"{base}/lineage/snap={snapshot}"
     (
         entities.filter(F.col("kind") == "module")
         .select(*FILE_LINEAGE_COLS)
-        .write.mode("overwrite")
+        .write.mode(write_mode)
         .parquet(path)
     )
     return path
