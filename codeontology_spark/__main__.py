@@ -4,8 +4,10 @@ The north rule's deployment shape is ``spark-submit --py-files
 codeontology_spark.zip`` on a multi-executor cluster; this module is the
 script that submit runs. The same entry points work standalone on
 ``local[N]`` for development. Mirrors the reference's CLI surface
-(/root/reference/main.py:21-74: process --path/--incremental, query
---query/--type, interactive stats) as subcommands over the Spark engine:
+(/root/reference/demo.py:718-760: positional codebase path + --backend/
+--watch/--no-queries; /root/reference/src/pipeline/processor.py:536-556:
+process path -> save -> sample queries -> stats) as subcommands over the
+Spark engine:
 
   build    source parquet -> triples + file/stage lineage + metrics JSON;
            --resume anti-joins the lineage ledger so a killed run
