@@ -457,6 +457,21 @@ def _q_docs_clean_corpus(spark, sf):
     return TX.clean_corpus(_read(spark, sf, "documents"))
 
 
+def _q_docs_c4_filter(spark, sf):
+    """C4-style line/page filter. The synthetic documents are single-line
+    and punctuation-free, so line structure is derived deterministically
+    first: every ' line ' occurrence becomes '.\\n' (sentence break) and
+    a final period is appended — the SQL twin applies the identical
+    rewrite, so the filter itself is what the oracle compares."""
+    docs = _read(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), " line ", ".\n"), F.lit(".")
+        ),
+    )
+    return TX.c4_line_filter(docs)
+
+
 def _q_emb_knn(spark, sf):
     emb = _read(spark, sf, "embeddings")
     qvec = (
@@ -798,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_clean_corpus": _q_docs_clean_corpus,
+        "docs_c4_filter": _q_docs_c4_filter,
         "docs_decontaminate": _q_docs_decontaminate,
         "corpus_shard_stats": _q_corpus_shard_stats,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -1406,6 +1422,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.doc_id, g.n_chars, 'en' AS lang_guess
             FROM gated g JOIN canon USING (doc_id)
+        """,
+        "docs_c4_filter": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, ' line ', '.' || chr(10), 'g')
+                           || '.' AS text
+                FROM documents
+            ), x AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS ls,
+                       list_filter(string_split(text, chr(10)),
+                           l -> regexp_matches(trim(l), '[.!?"'']$')
+                                AND len(list_filter(
+                                        regexp_split_to_array(trim(l), '\\s+'),
+                                        w -> w <> '')) >= 3
+                       ) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep_page,
+                   CASE WHEN len(kept) >= 3
+                             AND NOT contains(lower(text), 'lorem ipsum')
+                             AND NOT contains(text, '{')
+                        THEN array_to_string(kept, chr(10)) END AS clean_text
+            FROM x
         """,
         "docs_bpe_tokens": (
             "SELECT doc_id, "

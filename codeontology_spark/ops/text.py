@@ -198,6 +198,45 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+def c4_line_filter(
+    docs: DataFrame, min_line_words: int = 3, min_kept_lines: int = 3
+) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020, §2.2 — the
+    heuristics behind the C4 corpus): a LINE survives iff it ends in
+    terminal punctuation and has >= min_line_words whitespace words; a
+    PAGE survives iff it keeps >= min_kept_lines lines, contains no
+    "lorem ipsum" (any case) and no '{' (code/markup tell). Everything is
+    one split + higher-order array filter per document — pure codegen,
+    O(len), no shuffle, so at 100 TB this is a map-only pass fused into
+    whatever scan precedes it.
+
+    Returns one row per input doc: (doc_id, n_lines, n_kept, keep_page,
+    clean_text) with clean_text = surviving lines rejoined for kept
+    pages, NULL for dropped ones (the caller filters on keep_page; stats
+    stay available for the drop-rate dashboards every corpus run keeps).
+    """
+    lines = F.split(F.col("text"), "\n")
+
+    def _good(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+        return t.rlike("[.!?\"']$") & (words >= min_line_words)
+
+    kept = F.filter(lines, _good)
+    keep_page = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        keep_page.alias("keep_page"),
+        F.when(keep_page, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
 def clean_corpus(docs: DataFrame, min_alpha: float = 0.6, min_len: int = 64) -> DataFrame:
     """Composite training-data cleaning pipeline — the shape a pretraining
     corpus pass actually runs, as ONE declarative plan Catalyst can fuse:

@@ -201,3 +201,34 @@ def test_benchmark_slice_shape(spark):
     bench = C.benchmark_slice(docs, every=2, start=5, length=4).collect()
     assert sorted(r.bench_id for r in bench) == [0, 2]
     assert all(r.text == "w4 w5 w6 w7" for r in bench)
+
+
+def test_c4_line_filter_gates(spark):
+    from codeontology_spark.ops.text import c4_line_filter
+
+    pages = [
+        # 0: clean page — 3 good lines survive, 1 bad line dropped
+        "This line is fine.\nshort.\nAnother good line here!\nIs this ok?",
+        # 1: too few surviving lines → page dropped, stats still reported
+        "Only one good line here.\nnope\nstill nope",
+        # 2: lorem ipsum tell → dropped even with enough good lines
+        "Good line one here.\nGood line two here.\nLorem Ipsum dolor sit.",
+        # 3: brace tell (code) → dropped
+        "function f() {\nGood line one here.\nGood line two here.\nGood line three here.",
+        # 4: line with trailing quote after punctuation counts as terminal
+        'He said "stop".\nShe replied "why?"\nThird good line here.',
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(pages)], DOC_SCHEMA
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+
+    assert (out[0]["n_lines"], out[0]["n_kept"], out[0]["keep_page"]) == (4, 3, True)
+    assert out[0]["clean_text"] == (
+        "This line is fine.\nAnother good line here!\nIs this ok?"
+    )
+    assert out[1]["keep_page"] is False and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] is None  # dropped page carries no text
+    assert out[2]["keep_page"] is False and out[2]["n_kept"] == 3
+    assert out[3]["keep_page"] is False  # brace gate, not line count
+    assert out[4]["keep_page"] is True and out[4]["n_kept"] == 3
