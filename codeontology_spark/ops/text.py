@@ -222,18 +222,26 @@ def c4_line_filter(
         words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
         return t.rlike("[.!?\"']$") & (words >= min_line_words)
 
-    kept = F.filter(lines, _good)
-    keep_page = (
-        (F.size(kept) >= min_kept_lines)
-        & ~F.lower(F.col("text")).contains("lorem ipsum")
-        & ~F.col("text").contains("{")
-    )
-    return docs.select(
+    # materialize the kept-lines array ONCE in its own projection: five
+    # downstream expressions reference it, and CollapseProject would
+    # otherwise inline the higher-order filter (a regex pass over every
+    # line) into each of them — 4x the per-row CPU at any scale
+    staged = docs.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
+        F.filter(lines, _good).alias("_kept"),
+        (
+            ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("_page_ok"),
+    )
+    keep_page = (F.size("_kept") >= min_kept_lines) & F.col("_page_ok")
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").alias("n_kept"),
         keep_page.alias("keep_page"),
-        F.when(keep_page, F.array_join(kept, "\n")).alias("clean_text"),
+        F.when(keep_page, F.array_join("_kept", "\n")).alias("clean_text"),
     )
 
 
