@@ -264,6 +264,48 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+# ---------------------------------------------------------------- corpus
+
+
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """LLM-corpus preparation over a documents parquet
+    (doc_id, text, lang, source, ...) — the ops/ family behind one
+    deployable entry point, writing the result parquet to --out."""
+    from .ops import corpus as C, dedup as D, text as TX
+
+    spark = _get_session("ckg-corpus", args.cores)
+    docs = spark.read.parquet(args.inp)
+    if args.op == "exact-dedup":
+        df = D.exact_dedup(docs)
+    elif args.op == "near-dup-clusters":
+        df = C.dedup_clusters(docs, threshold=args.threshold)
+    elif args.op == "clean":
+        df = TX.clean_corpus(docs)
+    elif args.op == "c4":
+        df = TX.c4_line_filter(docs)
+    elif args.op == "decontaminate":
+        if not args.benchmark:
+            _emit({"cmd": "corpus", "error": "--benchmark required"})
+            return 2
+        df = C.decontaminate(docs, spark.read.parquet(args.benchmark))
+    elif args.op == "shard":
+        df = C.shard_corpus(docs, n_shards=args.n_shards)
+    elif args.op == "sample":
+        fr = {}
+        for spec in args.rate:
+            lang, _, frac = spec.partition("=")
+            fr[lang] = float(frac)
+        df = C.stratified_sample(docs, fr, default=args.default_rate)
+    elif args.op == "vocab":
+        df = C.top_vocab(docs, k=args.k)
+    else:  # mixture
+        df = C.mixture_weights(docs, alpha=args.alpha)
+    df.write.mode("overwrite").parquet(args.out)
+    _emit({"cmd": "corpus", "op": args.op,
+           "rows": spark.read.parquet(args.out).count(), "out": args.out})
+    return 0
+
+
 # ----------------------------------------------------------------- main
 
 
@@ -310,6 +352,24 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=50)
     q.add_argument("--out", help="write full result parquet instead of stdout")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("corpus", help="LLM-corpus prep over a documents parquet")
+    c.add_argument("--in", dest="inp", required=True,
+                   help="documents parquet (doc_id, text, lang, source, ...)")
+    c.add_argument("--out", required=True, help="result parquet path")
+    c.add_argument("--op", required=True,
+                   choices=["exact-dedup", "near-dup-clusters", "clean", "c4",
+                            "decontaminate", "shard", "sample", "vocab",
+                            "mixture"])
+    c.add_argument("--benchmark", help="benchmark parquet (decontaminate)")
+    c.add_argument("--threshold", type=float, default=0.6)
+    c.add_argument("--n-shards", type=int, default=64)
+    c.add_argument("--rate", action="append", default=[],
+                   help="lang=fraction (sample; repeatable)")
+    c.add_argument("--default-rate", type=float, default=0.0)
+    c.add_argument("--k", type=int, default=20)
+    c.add_argument("--alpha", type=float, default=0.5)
+    c.set_defaults(fn=cmd_corpus)
 
     e = sub.add_parser("export", help="dump the graph as .nt or .ttl")
     e.add_argument("--graph", required=True)

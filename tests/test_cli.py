@@ -127,3 +127,35 @@ def test_resume_appends_only_pending(spark, tmp_path, capsys):
     # third run: ledger covers everything → no-op
     assert main(["build", "--src", src_b, "--out", out, "--resume"]) == 0
     assert _last_json(capsys)["n_pending_files"] == 0
+
+
+def test_corpus_subcommand(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text with words and lines here", "en", f"s{i % 2}", 40)
+         for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "shards")
+    assert main(["corpus", "--in", src, "--out", out, "--op", "shard",
+                 "--n-shards", "4"]) == 0
+    s = _last_json(capsys)
+    assert s["rows"] == 20
+    got = spark.read.parquet(out)
+    assert got.select("shard").distinct().count() <= 4
+
+    out2 = str(tmp_path / "sample")
+    assert main(["corpus", "--in", src, "--out", out2, "--op", "sample",
+                 "--rate", "en=0.5"]) == 0
+    assert 0 < _last_json(capsys)["rows"] < 20
+
+    out3 = str(tmp_path / "mix")
+    assert main(["corpus", "--in", src, "--out", out3, "--op", "mixture"]) == 0
+    w = {r["source_key"]: r["weight"] for r in spark.read.parquet(out3).collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+
+    # decontaminate requires --benchmark
+    assert main(["corpus", "--in", src, "--out", str(tmp_path / "x"),
+                 "--op", "decontaminate"]) == 2
