@@ -87,7 +87,14 @@ def cmd_build(args: argparse.Namespace) -> int:
 
     spark = _get_session("ckg-build", args.cores)
     t_start = time.perf_counter()
-    src = spark.read.parquet(args.src)
+    # --src-table reads through the session catalog (Iceberg/Hive table
+    # or temp view — the north rule's deployed input shape); --src is a
+    # bare parquet path for catalog-less runs
+    src = (
+        spark.read.table(args.src_table)
+        if args.src_table
+        else spark.read.parquet(args.src)
+    )
 
     timings: dict[str, float] = {}
     if args.resume or args.dry_run:
@@ -319,7 +326,10 @@ def _parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="source parquet -> triple store")
-    b.add_argument("--src", required=True, help="source table parquet path")
+    bsrc = b.add_mutually_exclusive_group(required=True)
+    bsrc.add_argument("--src", help="source table parquet path")
+    bsrc.add_argument("--src-table",
+                      help="catalog table name (Iceberg/Hive/temp view)")
     b.add_argument("--out", required=True, help="graph store base dir")
     b.add_argument("--snapshot", default="latest")
     b.add_argument("--mode", choices=["treesitter", "fallback"],

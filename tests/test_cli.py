@@ -159,3 +159,11 @@ def test_corpus_subcommand(spark, tmp_path, capsys):
     # decontaminate requires --benchmark
     assert main(["corpus", "--in", src, "--out", str(tmp_path / "x"),
                  "--op", "decontaminate"]) == 2
+
+
+def test_build_from_catalog_table(spark, tmp_path, capsys):
+    fixture_table(spark).createOrReplaceTempView("cli_src_view")
+    out = str(tmp_path / "graph")
+    assert main(["build", "--src-table", "cli_src_view", "--out", out]) == 0
+    s = _last_json(capsys)
+    assert s["n_triples_total"] > 300
