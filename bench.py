@@ -168,6 +168,7 @@ def main() -> None:
         # round-5 corpus-prep family (new keys — absent from prior rounds)
         "docs_decontaminate",
         "docs_dedup_clusters",
+        "docs_c4_filter",
     ]
     # three CONSECUTIVE trials per query, best as the headline: back-to-back
     # runs keep the query's generated code in the codegen cache (full
