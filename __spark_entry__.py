@@ -746,6 +746,15 @@ def _q_corpus_shard_stats(spark, sf):
     return CP.shard_stats(_read(spark, sf, "documents"), n_shards=16)
 
 
+def _q_corpus_pack_sequences(spark, sf):
+    """GPT-style sequence-packing layout: per-doc placement (shard,
+    start offset, first/last sequence index) when each shard's token
+    stream is concatenated in doc_id order and split every 256 tokens."""
+    return CP.pack_sequences(
+        _read(spark, sf, "documents"), seq_len=256, n_shards=16
+    )
+
+
 def _q_docs_stratified_sample(spark, sf):
     """Per-language deterministic Bernoulli sample (portable md5-u32
     threshold test; unlisted langs default to 0)."""
@@ -816,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_c4_filter": _q_docs_c4_filter,
         "docs_decontaminate": _q_docs_decontaminate,
         "corpus_shard_stats": _q_corpus_shard_stats,
+        "corpus_pack_sequences": _q_corpus_pack_sequences,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_top_vocab": _q_docs_top_vocab,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
@@ -1574,6 +1584,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        "corpus_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                           % 16 AS shard,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, shard, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum
+                FROM t
+            )
+            SELECT doc_id, shard,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS start_seq,
+                   CAST(floor(greatest(cum - 1, cum - n_tokens) / 256) AS BIGINT)
+                       AS end_seq
+            FROM c
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang, source FROM documents

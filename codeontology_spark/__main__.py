@@ -305,6 +305,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         df = C.stratified_sample(docs, fr, default=args.default_rate)
     elif args.op == "vocab":
         df = C.top_vocab(docs, k=args.k)
+    elif args.op == "pack":
+        df = C.pack_sequences(docs, seq_len=args.seq_len,
+                              n_shards=args.n_shards)
     else:  # mixture
         df = C.mixture_weights(docs, alpha=args.alpha)
     df.write.mode("overwrite").parquet(args.out)
@@ -370,7 +373,7 @@ def _parser() -> argparse.ArgumentParser:
     c.add_argument("--op", required=True,
                    choices=["exact-dedup", "near-dup-clusters", "clean", "c4",
                             "decontaminate", "shard", "sample", "vocab",
-                            "mixture"])
+                            "mixture", "pack"])
     c.add_argument("--benchmark", help="benchmark parquet (decontaminate)")
     c.add_argument("--threshold", type=float, default=0.6)
     c.add_argument("--n-shards", type=int, default=64)
@@ -379,6 +382,7 @@ def _parser() -> argparse.ArgumentParser:
     c.add_argument("--default-rate", type=float, default=0.0)
     c.add_argument("--k", type=int, default=20)
     c.add_argument("--alpha", type=float, default=0.5)
+    c.add_argument("--seq-len", type=int, default=2048)
     c.set_defaults(fn=cmd_corpus)
 
     e = sub.add_parser("export", help="dump the graph as .nt or .ttl")

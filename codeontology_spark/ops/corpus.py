@@ -149,6 +149,54 @@ def shard_corpus(docs: DataFrame, n_shards: int = 64) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """GPT-style sequence-packing layout: within each shard, document
+    token streams are concatenated in doc_id order and split into
+    fixed-``seq_len`` training sequences (documents straddle sequence
+    boundaries — the standard causal-LM packing, no padding waste).
+    This op computes the PLACEMENT each tokenizer worker needs to write
+    its shard independently: per document, its shard, token count,
+    start offset in the shard's token stream, and the first/last
+    sequence indices it lands in.
+
+    Plan at 100 TB: one md5 shard projection + ONE window (a running
+    token sum per shard, ordered by doc_id) — a single shuffle on
+    shard, no global sort, no driver state. Sharding is md5-stable
+    (see shard_corpus), so a resumed tokenization job recomputes the
+    identical layout. Tokens are whitespace words (the same proxy the
+    rest of the corpus family budgets with; swap tokens_col for a real
+    tokenizer count column in production).
+
+    Empty documents occupy zero tokens: start_seq = end_seq = the
+    sequence their offset falls in (they contribute no text).
+    """
+    from pyspark.sql.window import Window
+
+    n_toks = F.size(tokens_col(F.lower(F.col("text"))))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = shard_corpus(docs, n_shards).select(
+        "doc_id", "shard", n_toks.alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / seq_len).alias("start_seq"),
+        F.floor(
+            F.greatest(cum - 1, cum - F.col("n_tokens")) / seq_len
+        ).alias("end_seq"),
+    )
+
+
 def shard_stats(docs: DataFrame, n_shards: int = 64) -> DataFrame:
     """Per-shard doc/char counts — the balance check a sharding job
     asserts before writing (md5 sharding is uniform, so max/min doc

@@ -232,3 +232,32 @@ def test_c4_line_filter_gates(spark):
     assert out[2]["keep_page"] is False and out[2]["n_kept"] == 3
     assert out[3]["keep_page"] is False  # brace gate, not line count
     assert out[4]["keep_page"] is True and out[4]["n_kept"] == 3
+
+
+def test_pack_sequences_layout(spark):
+    from codeontology_spark.ops.corpus import pack_sequences
+
+    # single shard so the concatenation order is just doc_id order:
+    # token counts 5, 0 (empty), 6, 4 with seq_len=8 →
+    # stream offsets 0, 5, 5, 11; doc 2 straddles the 8-token boundary
+    texts = ["a b c d e", "", "f g h i j k", "l m n o"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, seq_len=8, n_shards=1).collect()
+    }
+    assert [(out[i]["n_tokens"], out[i]["start_offset"]) for i in range(4)] == [
+        (5, 0), (0, 5), (6, 5), (4, 11)
+    ]
+    assert (out[0]["start_seq"], out[0]["end_seq"]) == (0, 0)
+    assert (out[1]["start_seq"], out[1]["end_seq"]) == (0, 0)  # empty doc
+    assert (out[2]["start_seq"], out[2]["end_seq"]) == (0, 1)  # straddles
+    assert (out[3]["start_seq"], out[3]["end_seq"]) == (1, 1)
+
+    # sharded layout is a pure function of doc_id: same placement under
+    # any input partitioning
+    a = sorted(map(tuple, pack_sequences(df.repartition(7), 8, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.coalesce(1), 8, 4).collect()))
+    assert a == b
