@@ -145,6 +145,13 @@ def cmd_build(args: argparse.Namespace) -> int:
         write_file_lineage(
             res.entities, args.out, snapshot=args.snapshot, write_mode=write_mode
         )
+        if args.write_entities:
+            # the entity table is what read_current/compact resolve
+            # superseded subjects against — persist it beside the triples
+            # so the incremental path can start from a CLI build
+            res.entities.write.mode(write_mode).parquet(
+                f"{args.out}/entities/snap={args.snapshot}"
+            )
         # per-partition stage lineage (north rule bookkeeping): computed
         # from the persisted entity table, appended per run
         (
@@ -186,9 +193,50 @@ def cmd_stats(args: argparse.Namespace) -> int:
 
     spark = _get_session("ckg-stats", args.cores)
     t = read_triples(spark, args.graph, args.snapshot)
+    merged = False
+    if args.state_dir:
+        from .incremental import read_current
+
+        ents = _entities_or_none(spark, args.graph, args.snapshot)
+        if ents is None:
+            _emit({"cmd": "stats", "error":
+                   "--state-dir needs the entity table: rebuild with "
+                   "build --write-entities (or compact first)"})
+            return 2
+        t = read_current(spark, t, ents, args.state_dir)
+        merged = True
     rows = graph_stats(t).collect()
-    _emit({"cmd": "stats", "n_triples": t.count(),
+    _emit({"cmd": "stats", "n_triples": t.count(), "merged_deltas": merged,
            "entity_counts": {r["entity_type"]: r["count"] for r in rows}})
+    return 0
+
+
+def _entities_or_none(spark, graph: str, snapshot: str):
+    try:
+        return spark.read.parquet(f"{graph}/entities/snap={snapshot}")
+    except Exception:
+        return None
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from .incremental import compact
+    from .store import read_triples
+
+    spark = _get_session("ckg-compact", args.cores)
+    base = read_triples(spark, args.graph, args.base_snapshot)
+    ents = _entities_or_none(spark, args.graph, args.base_snapshot)
+    if ents is None:
+        _emit({"cmd": "compact", "error":
+               f"no entity table at {args.graph}/entities/"
+               f"snap={args.base_snapshot}: rebuild with "
+               "build --write-entities (compacted snapshots carry one)"})
+        return 2
+    path = compact(
+        spark, base, ents, args.state_dir, args.graph, snapshot=args.snapshot
+    )
+    n = spark.read.parquet(path).count()
+    _emit({"cmd": "compact", "snapshot": args.snapshot, "n_triples": n,
+           "triples_path": path})
     return 0
 
 
@@ -347,12 +395,26 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--buckets-per-pred", type=int, default=8)
     b.add_argument("--skip-invariant", action="store_true",
                    help="skip the per-row content-sha256 check")
+    b.add_argument("--write-entities", action="store_true",
+                   help="persist the entity table (enables stats "
+                        "--state-dir and compact)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("stats", help="entity-type histogram")
     s.add_argument("--graph", required=True)
     s.add_argument("--snapshot", default="latest")
+    s.add_argument("--state-dir",
+                   help="merge streamed deltas (incremental state dir) "
+                        "into the view first")
     s.set_defaults(fn=cmd_stats)
+
+    k = sub.add_parser("compact",
+                       help="fold streamed deltas into a fresh snapshot")
+    k.add_argument("--graph", required=True)
+    k.add_argument("--state-dir", required=True)
+    k.add_argument("--base-snapshot", default="latest")
+    k.add_argument("--snapshot", default="compacted")
+    k.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="template query or raw SQL")
     q.add_argument("--graph", required=True)

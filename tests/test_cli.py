@@ -167,3 +167,52 @@ def test_build_from_catalog_table(spark, tmp_path, capsys):
     assert main(["build", "--src-table", "cli_src_view", "--out", out]) == 0
     s = _last_json(capsys)
     assert s["n_triples_total"] > 300
+
+
+def test_stream_then_cli_compact(spark, tmp_path, capsys):
+    """build --write-entities → streamed delta → stats --state-dir shows
+    the merged view → compact folds it into a snapshot the plain stats
+    path reads back identically."""
+    import json as _json
+
+    from codeontology_spark.incremental import stream_updates
+
+    src = [("r", "a.js", "c0", "javascript", "function base_a() { return 0; }"),
+           ("r", "b.js", "c0", "javascript", "function base_b() { return 0; }")]
+    srcp = str(tmp_path / "src")
+    spark.createDataFrame(
+        src, "repo string, path string, commit string, lang string, content string"
+    ).coalesce(1).write.parquet(srcp)
+    out = str(tmp_path / "graph")
+    assert main(["build", "--src", srcp, "--out", out,
+                 "--write-entities"]) == 0
+
+    inbox, state, ckpt = (tmp_path / d for d in ("inbox", "state", "ckpt"))
+    inbox.mkdir()
+    q = stream_updates(spark, str(inbox), str(state), str(ckpt),
+                       trigger_seconds=1)
+    try:
+        (inbox / "b1.json").write_text(_json.dumps(
+            {"repo": "r", "path": "a.js", "ts": "2026-01-01T00:00:00",
+             "event_type": "updated", "commit": "c1", "lang": "javascript",
+             "content": "function v2_a() { return 1; }"}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert main(["stats", "--graph", out, "--state-dir", str(state)]) == 0
+    merged = _last_json(capsys)
+    assert merged["merged_deltas"] is True
+
+    assert main(["compact", "--graph", out, "--state-dir", str(state),
+                 "--snapshot", "epoch1"]) == 0
+    c = _last_json(capsys)
+    assert c["n_triples"] == merged["n_triples"]
+
+    assert main(["stats", "--graph", out, "--snapshot", "epoch1"]) == 0
+    snap = _last_json(capsys)
+    assert snap["entity_counts"] == merged["entity_counts"]
+    # deltas cleared: merged view over the new snapshot needs no state
+    from codeontology_spark.incremental import DELTA_TRIPLES
+    import glob
+    assert not glob.glob(f"{state}/{DELTA_TRIPLES}/*.parquet")
