@@ -261,3 +261,55 @@ def test_pack_sequences_layout(spark):
     a = sorted(map(tuple, pack_sequences(df.repartition(7), 8, 4).collect()))
     b = sorted(map(tuple, pack_sequences(df.coalesce(1), 8, 4).collect()))
     assert a == b
+
+
+def test_pack_sequences_random_parity_and_plan(spark):
+    import random
+
+    from codeontology_spark.ops.corpus import _md5_u32, pack_sequences
+
+    rng = random.Random(7)
+    texts = [
+        " ".join("w%d" % rng.randrange(50) for _ in range(rng.randrange(0, 30)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    seq_len, n_shards = 16, 4
+    out = pack_sequences(df, seq_len=seq_len, n_shards=n_shards)
+
+    # python reference: same md5 shard formula, concat in doc_id order
+    import hashlib
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()[:8], 16) % n_shards
+
+    streams = {}
+    expect = {}
+    for i, t in enumerate(texts):  # doc_id order == enumeration order
+        sh = shard_of(i)
+        n = len([w for w in t.split() if w])
+        start = streams.get(sh, 0)
+        streams[sh] = start + n
+        end_tok = start + n - 1 if n else start
+        expect[i] = (sh, n, start, start // seq_len, end_tok // seq_len)
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["start_offset"],
+                      r["start_seq"], r["end_seq"])
+        for r in out.collect()
+    }
+    assert got == expect
+
+    # plan: the ONLY shuffle is the shard window's hash partitioning
+    # (post-execution AQE prints the same exchange in both the final and
+    # the initial plan — count unique exchanges, not lines)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = {
+        re.sub(r"\[plan_id=\d+\]", "", ln.strip())
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+    }
+    assert len(exchanges) == 1 and "hashpartitioning(shard" in next(iter(exchanges))
