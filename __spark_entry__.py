@@ -755,6 +755,13 @@ def _q_corpus_pack_sequences(spark, sf):
     )
 
 
+def _q_docs_freq_score(spark, sf):
+    """Corpus-relative frequency quality scores with a 20-word model, so
+    OOV words exist and the scores spread (the synthetic vocabulary is
+    small — a large model would make every word in-vocabulary)."""
+    return CP.corpus_freq_score(_read(spark, sf, "documents"), vocab_size=20)
+
+
 def _q_docs_stratified_sample(spark, sf):
     """Per-language deterministic Bernoulli sample (portable md5-u32
     threshold test; unlisted langs default to 0)."""
@@ -826,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "corpus_shard_stats": _q_corpus_shard_stats,
         "corpus_pack_sequences": _q_corpus_pack_sequences,
+        "docs_freq_score": _q_docs_freq_score,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_top_vocab": _q_docs_top_vocab,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
@@ -1584,6 +1592,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        "docs_freq_score": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ), vocab AS (
+                SELECT word, COUNT(*) AS c FROM words
+                GROUP BY word ORDER BY c DESC, word LIMIT 20
+            ), per AS (
+                SELECT w.doc_id,
+                       COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                       SUM(COALESCE(v.c, 0)) AS sum_freq
+                FROM words w LEFT JOIN vocab v USING (word)
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS INTEGER) AS n_tokens,
+                   ROUND(COALESCE(per.n_oov, 0)
+                         / GREATEST(COALESCE(per.n_tokens, 0), 1), 6)
+                       AS oov_ratio,
+                   ROUND(COALESCE(per.sum_freq, 0)
+                         / GREATEST(COALESCE(per.n_tokens, 0), 1), 4)
+                       AS mean_word_count
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "corpus_pack_sequences": """
             WITH t AS (

@@ -255,6 +255,64 @@ def top_vocab(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def corpus_freq_score(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Corpus-relative frequency quality scoring — the two-pass "train a
+    tiny model on the corpus, broadcast it, score every document" shape
+    that data-quality classifiers (fastText-style) use, reduced to its
+    distributable core: pass 1 builds the top-``vocab_size`` unigram
+    count model (map-side-combinable agg → TakeOrderedAndProject, only
+    the k-row model ever reaches the driver); pass 2 left-joins each
+    document's words against the BROADCAST model and aggregates per doc.
+
+    Scores per document: ``oov_ratio`` (share of words outside the
+    model's vocabulary — high = unusual/garbled text) and
+    ``mean_word_count`` (average corpus count of the doc's words —
+    low = rare/technical, high = boilerplate-common). Everything before
+    the final two divisions is exact integer arithmetic, so the scores
+    are bit-identical across engines (the portability rule
+    mixture_weights documents: no float-sum order sensitivity).
+
+    At 100 TB: one shuffle to count words, one shuffle for the per-doc
+    agg; the model join is broadcast. Documents with no tokens get
+    oov_ratio 0.0 and mean_word_count 0.0.
+    """
+    words = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(vocab_size)
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("sum_freq"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .na.fill(0, ["n_tokens", "n_oov", "sum_freq"])
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("oov_ratio"),
+            F.round(
+                F.col("sum_freq") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+            ).alias("mean_word_count"),
+        )
+    )
+
+
 def mixture_weights(
     docs: DataFrame, alpha: float = 0.5, by: str = "source"
 ) -> DataFrame:

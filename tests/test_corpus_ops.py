@@ -313,3 +313,22 @@ def test_pack_sequences_random_parity_and_plan(spark):
         if "Exchange" in ln
     }
     assert len(exchanges) == 1 and "hashpartitioning(shard" in next(iter(exchanges))
+
+
+def test_corpus_freq_score(spark):
+    from codeontology_spark.ops.corpus import corpus_freq_score
+
+    # vocab_size=2 → model = {'a': 5, 'b': 3} (count desc, word asc ties)
+    texts = ["a a b z", "a b b q r", "a a", ""]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    out = {r["doc_id"]: r for r in corpus_freq_score(df, vocab_size=2).collect()}
+    # doc 0: words a,a,b,z → oov 1/4, mean (5+5+3+0)/4
+    assert (out[0]["n_tokens"], out[0]["oov_ratio"], out[0]["mean_word_count"]) == (4, 0.25, 3.25)
+    # doc 1: a,b,b,q,r → oov 2/5, mean (5+3+3)/5
+    assert (out[1]["oov_ratio"], out[1]["mean_word_count"]) == (0.4, 2.2)
+    # doc 2: all in-vocab
+    assert (out[2]["oov_ratio"], out[2]["mean_word_count"]) == (0.0, 5.0)
+    # doc 3: empty → zeros, not nulls
+    assert (out[3]["n_tokens"], out[3]["oov_ratio"], out[3]["mean_word_count"]) == (0, 0.0, 0.0)
