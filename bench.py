@@ -170,6 +170,7 @@ def main() -> None:
         "docs_dedup_clusters",
         "docs_c4_filter",
         "corpus_pack_sequences",
+        "docs_freq_score",
     ]
     # three CONSECUTIVE trials per query, best as the headline: back-to-back
     # runs keep the query's generated code in the codegen cache (full

@@ -356,6 +356,8 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     elif args.op == "pack":
         df = C.pack_sequences(docs, seq_len=args.seq_len,
                               n_shards=args.n_shards)
+    elif args.op == "freq-score":
+        df = C.corpus_freq_score(docs, vocab_size=args.vocab_size)
     else:  # mixture
         df = C.mixture_weights(docs, alpha=args.alpha)
     df.write.mode("overwrite").parquet(args.out)
@@ -435,7 +437,7 @@ def _parser() -> argparse.ArgumentParser:
     c.add_argument("--op", required=True,
                    choices=["exact-dedup", "near-dup-clusters", "clean", "c4",
                             "decontaminate", "shard", "sample", "vocab",
-                            "mixture", "pack"])
+                            "mixture", "pack", "freq-score"])
     c.add_argument("--benchmark", help="benchmark parquet (decontaminate)")
     c.add_argument("--threshold", type=float, default=0.6)
     c.add_argument("--n-shards", type=int, default=64)
@@ -445,6 +447,7 @@ def _parser() -> argparse.ArgumentParser:
     c.add_argument("--k", type=int, default=20)
     c.add_argument("--alpha", type=float, default=0.5)
     c.add_argument("--seq-len", type=int, default=2048)
+    c.add_argument("--vocab-size", type=int, default=1000)
     c.set_defaults(fn=cmd_corpus)
 
     e = sub.add_parser("export", help="dump the graph as .nt or .ttl")
