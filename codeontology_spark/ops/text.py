@@ -18,19 +18,26 @@ STOPWORDS = {
 
 
 def tokens_col(text=None):
-    """Non-empty whitespace tokens (JVM split + filter)."""
+    """Non-empty whitespace tokens (JVM split + filter).
+
+    NULL-safe: a null text is an empty token array, not a null one —
+    real crawl corpora carry null rows, and a null here poisons every
+    derived count downstream (size/sum/window offsets all go null,
+    silently corrupting e.g. a packing layout)."""
     if text is None:
         text = F.col("text")
+    text = F.coalesce(text, F.lit(""))
     return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
     toks = tokens_col()
+    n_chars = F.length(F.coalesce(F.col("text"), F.lit("")))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
-        (F.length("text") / F.greatest(F.size(toks), F.lit(1))).cast("double").alias("chars_per_token"),
+        n_chars.alias("n_chars"),
+        (n_chars / F.greatest(F.size(toks), F.lit(1))).cast("double").alias("chars_per_token"),
     ).withColumn("chars_per_token", F.round("chars_per_token", 4))
 
 
@@ -214,8 +221,11 @@ def c4_line_filter(
     clean_text) with clean_text = surviving lines rejoined for kept
     pages, NULL for dropped ones (the caller filters on keep_page; stats
     stay available for the drop-rate dashboards every corpus run keeps).
+    A null text is an empty page: 1 empty line, 0 kept, dropped —
+    not a null stats row (see tokens_col on null poisoning).
     """
-    lines = F.split(F.col("text"), "\n")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(text, "\n")
 
     def _good(line):
         t = F.trim(line)
@@ -231,8 +241,8 @@ def c4_line_filter(
         F.size(lines).alias("n_lines"),
         F.filter(lines, _good).alias("_kept"),
         (
-            ~F.lower(F.col("text")).contains("lorem ipsum")
-            & ~F.col("text").contains("{")
+            ~F.lower(text).contains("lorem ipsum")
+            & ~text.contains("{")
         ).alias("_page_ok"),
     )
     keep_page = (F.size("_kept") >= min_kept_lines) & F.col("_page_ok")

@@ -332,3 +332,26 @@ def test_corpus_freq_score(spark):
     assert (out[2]["oov_ratio"], out[2]["mean_word_count"]) == (0.0, 5.0)
     # doc 3: empty → zeros, not nulls
     assert (out[3]["n_tokens"], out[3]["oov_ratio"], out[3]["mean_word_count"]) == (0, 0.0, 0.0)
+
+
+def test_null_text_is_empty_not_poison(spark):
+    """Crawl corpora carry null-text rows; token-derived ops must treat
+    them as empty documents, not propagate nulls (a null token count
+    would silently corrupt e.g. packing offsets via null-skipping sums)."""
+    from codeontology_spark.ops.corpus import pack_sequences
+    from codeontology_spark.ops.text import c4_line_filter, token_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5), (1, None, "en", "s", 0),
+         (2, "d e", "en", "s", 3)],
+        DOC_SCHEMA,
+    )
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert (ts[1]["n_tokens"], ts[1]["n_chars"]) == (0, 0)
+
+    pk = {r["doc_id"]: r for r in pack_sequences(df, 4, 1).collect()}
+    assert (pk[1]["n_tokens"], pk[1]["start_offset"]) == (0, 3)
+    assert pk[2]["start_offset"] == 3  # the null row occupies no tokens
+
+    c4 = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert (c4[1]["n_lines"], c4[1]["n_kept"], c4[1]["keep_page"]) == (1, 0, False)
