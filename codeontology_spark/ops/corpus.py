@@ -383,7 +383,7 @@ def dedup_clusters(
     """
     from .. import queries as Q
 
-    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    hashed = docs.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h"))
     roots = hashed.groupBy("h").agg(F.min("doc_id").alias("a"))
     exact_edges = (
         hashed.join(roots, "h")

@@ -35,7 +35,7 @@ SIMHASH_MAX_BUCKET = 256  # per-(band, value) cap for the 16-bit simhash bands
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: canonical = min doc_id per identical text."""
     return (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        docs.groupBy(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"))
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count("*").alias("n_copies"),
@@ -49,7 +49,7 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     n_copies. Run BEFORE any band join: exact-dup clusters share all band
     signatures, so each c-cluster would otherwise emit O(c²) candidate
     pairs per band; collapsed, it contributes one row."""
-    canon = docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha")).agg(
+    canon = docs.groupBy(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha")).agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
     )
     return docs.join(canon.select("doc_id", "n_copies"), "doc_id")
@@ -70,7 +70,10 @@ def _cap_bucket(df: DataFrame, key: str | list[str], max_bucket: int) -> DataFra
 def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
     """(doc_id, shingle) — char shingles via JVM transform+sequence; the
     whole expansion stays inside codegen, no Python."""
-    expr = f"transform(sequence(1, greatest(length(text) - {width - 1}, 1)), i -> substring(text, i, {width}))"
+    expr = (
+        f"transform(sequence(1, greatest(length(coalesce(text, '')) - {width - 1}, 1)),"
+        f" i -> substring(coalesce(text, ''), i, {width}))"
+    )
     return docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
 
 

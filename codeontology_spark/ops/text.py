@@ -55,7 +55,7 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     LLM data budgeting tracks. One regexp pass per doc, O(len), pure
     codegen."""
     toks = tokens_col()
-    bpe_n = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+    bpe_n = F.size(F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_RE), F.lit(0)))
     return docs.select(
         "doc_id",
         bpe_n.alias("n_bpe_tokens"),
@@ -67,15 +67,18 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
-    """Length/alpha/stopword ratio heuristics (rounded for oracle parity)."""
+    """Length/alpha/stopword ratio heuristics (rounded for oracle parity).
+    Null text scores as the empty document (all-zero ratios, len_ok
+    false), not as a null row."""
     toks = tokens_col()
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
     sw = F.size(F.filter(tokens_col(F.lower(F.col("text"))), lambda x: x.isin(STOPWORDS["en"])))
     return docs.select(
         "doc_id",
-        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(alpha / F.greatest(F.length(text), F.lit(1)), 4).alias("alpha_ratio"),
         F.round(sw / F.greatest(F.size(toks), F.lit(1)), 4).alias("stopword_ratio"),
-        (F.length("text") >= 64).alias("len_ok"),
+        (F.length(text) >= 64).alias("len_ok"),
     )
 
 
@@ -108,7 +111,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: sha256 prefix of the lowercased text."""
     return docs.select(
         "doc_id",
-        F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 16).alias("fp"),
+        F.substring(F.sha2(F.lower(F.coalesce(F.col("text"), F.lit(""))), 256), 1, 16).alias("fp"),
     )
 
 
@@ -186,10 +189,10 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     Emails are redacted before phones so a '+'-digit sequence inside a
     local-part can't double-fire. Returns (doc_id, redacted, n_emails,
     n_ipv4, n_phones)."""
-    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))  # noqa: E731
+    n = lambda pat: F.size(F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(pat), F.lit(0)))  # noqa: E731
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), EMAIL_RE, "<EMAIL>"),
             IPV4_RE,
             "<IP>",
         ),
@@ -282,7 +285,7 @@ def clean_corpus(docs: DataFrame, min_alpha: float = 0.6, min_len: int = 64) -> 
         & is_en
     )
     canon = (
-        gated.groupBy(F.sha2(F.col("text"), 256).alias("_sha"))
+        gated.groupBy(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("_sha"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )

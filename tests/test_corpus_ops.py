@@ -355,3 +355,29 @@ def test_null_text_is_empty_not_poison(spark):
 
     c4 = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
     assert (c4[1]["n_lines"], c4[1]["n_kept"], c4[1]["keep_page"]) == (1, 0, False)
+
+    # the whole family scores a null row as the empty document
+    from codeontology_spark.ops.corpus import corpus_freq_score, dedup_clusters
+    from codeontology_spark.ops.dedup import exact_dedup, shingles
+    from codeontology_spark.ops.text import (
+        bpe_token_stats,
+        fingerprint,
+        quality_score,
+        redact_pii,
+    )
+
+    empty_df = spark.createDataFrame(
+        [(10, "", "en", "s", 0), (11, None, "en", "s", 0)], DOC_SCHEMA
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(empty_df).collect()}
+    assert fp[10] == fp[11]  # null ≡ empty, not a null fingerprint
+    ex = exact_dedup(empty_df).collect()
+    assert len(ex) == 1 and ex[0]["n_copies"] == 2
+    qs = {r["doc_id"]: r for r in quality_score(empty_df).collect()}
+    assert (qs[11]["alpha_ratio"], qs[11]["len_ok"]) == (0.0, False)
+    bp = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_stats(empty_df).collect()}
+    assert bp[11] == 0
+    rd = {r["doc_id"]: r["redacted"] for r in redact_pii(empty_df).collect()}
+    assert rd[11] == ""
+    sh = shingles(empty_df).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in sh} == {10: 1, 11: 1}
