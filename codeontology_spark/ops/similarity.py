@@ -186,7 +186,12 @@ def kmeans_centroids(
     map-side-combinable shuffle on (cell, pos) with k·dim groups. The only
     driver traffic is the k×dim centroid matrix per iteration, same class
     as collecting the query vector. Ties in assignment break to the
-    smallest cell id (mirrored in the SQL twin)."""
+    smallest cell id (mirrored in the SQL twin).
+
+    Null embeddings are excluded from the model: a crawl row with no
+    vector can neither seed nor pull a centroid (previously a null
+    landing in the min-md5 seed sample crashed the collect)."""
+    emb = emb.filter(F.col("embedding").isNotNull())
     seeds = (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -215,7 +220,8 @@ def kmeans_centroids(
 
 def kmeans_assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(vec_id, cell) for the final centroids — map-only, broadcast
-    literals."""
+    literals. Null embeddings get no row (they belong to no cell)."""
+    emb = emb.filter(F.col("embedding").isNotNull())
     v = F.col("embedding").cast("array<double>")
     sims = [cosine(v, _lit_vec(c)) for c in cents]
     return emb.select("vec_id", _argmax_cell(sims).alias("cell"))

@@ -381,3 +381,29 @@ def test_null_text_is_empty_not_poison(spark):
     assert rd[11] == ""
     sh = shingles(empty_df).groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in sh} == {10: 1, 11: 1}
+
+
+def test_null_embedding_excluded_not_crash(spark):
+    """A crawl row with no vector: ranked last by cosine_topk, excluded
+    from the k-means model and assignment (previously a null in the
+    min-md5 seed sample crashed centroid collection)."""
+    from codeontology_spark.ops.similarity import (
+        cosine_topk,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, None, "b"), (2, [0.5, 0.5], "c"),
+         (3, [0.9, 0.1], "a")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    top = cosine_topk(df, [1.0, 0.0], k=4).collect()
+    assert [r["vec_id"] for r in top][:3] == [0, 3, 2]
+    assert top[3]["cos_sim"] is None  # null vec ranks last, never above
+
+    cents = kmeans_centroids(df, k_cells=2, iters=2)
+    assert all(all(x is not None for x in c) for c in cents)
+    assigned = kmeans_assign(df, cents).collect()
+    assert sorted(r["vec_id"] for r in assigned) == [0, 2, 3]
+    assert all(r["cell"] is not None for r in assigned)
