@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup as _dedup
+from .layout import spread
 from .text import tokens_col
 
 # 2^32 as a double: md5-slice hashes below are 8 hex chars = 32 bits, so
@@ -99,6 +100,10 @@ def decontaminate(
     have any n-gram): doc_id, n_grams, n_contaminated, contamination
     (ratio over distinct grams), contaminated (0/1).
     """
+    # spread BEFORE the gram explode (guide §2.5): the per-gram explode +
+    # distinct is the expensive map side; partitioning by doc_id also lets
+    # the per-doc agg and the final doc_id join reuse the exchange
+    docs = spread(docs)
     bgrams = F.broadcast(
         benchmark.select(
             F.explode(word_ngrams(F.col("text"), n)).alias("gram")
@@ -276,6 +281,7 @@ def corpus_freq_score(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
     agg; the model join is broadcast. Documents with no tokens get
     oov_ratio 0.0 and mean_word_count 0.0.
     """
+    docs = spread(docs)
     words = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
     )

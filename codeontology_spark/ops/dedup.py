@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .layout import est_bytes, spread
+
 SHINGLE = 5  # char-shingle width
 K_HASHES = 8  # minhash permutations (one band of 8 rows here)
 MAX_BUCKET = 64  # per-(band, signature) hot-bucket cap for minhash joins
@@ -49,22 +51,55 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     n_copies. Run BEFORE any band join: exact-dup clusters share all band
     signatures, so each c-cluster would otherwise emit O(c²) candidate
     pairs per band; collapsed, it contributes one row."""
+    docs = spread(docs)
     canon = docs.groupBy(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha")).agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
     )
     return docs.join(canon.select("doc_id", "n_copies"), "doc_id")
 
 
-def _cap_bucket(df: DataFrame, key: str | list[str], max_bucket: int) -> DataFrame:
+#: max bytes ONE window task may sort before the two-phase salted cap is
+#: required — below it a single-task sort cannot straggle (a laptop sorts
+#: 64 MB in well under a second), above it the mega-bucket risk is real.
+#: Independent of core count, so the choice is data-adaptive, not
+#: local-mode tuning.
+CAP_SINGLE_WINDOW_MAX_BYTES = 64 << 20
+
+
+def _cap_bucket(
+    df: DataFrame, key: str | list[str], max_bucket: int, src_bytes: int | None = None
+) -> DataFrame:
     """Deterministically keep the first max_bucket rows (by doc_id) per
     bucket key — bounds any bucket's self-join regardless of skew, and is
-    exactly mirrorable in SQL as a QUALIFY row_number(). Two-phase
-    (salted pre-cap, then exact) so a mega-bucket never single-task-sorts
-    — see ops/skew.capped_first_rows; output is byte-identical to the
-    plain window, so the SQL oracles are unchanged."""
+    exactly mirrorable in SQL as a QUALIFY row_number().
+
+    Two forms with byte-identical output (so the SQL oracles never
+    change), chosen by the size of the SOURCE corpus (``src_bytes``, the
+    caller's Catalyst estimate of the docs table — the banded frame
+    itself descends from a localCheckpoint whose LogicalRDD estimate is
+    meaningless):
+
+    - source above CAP_SINGLE_WINDOW_MAX_BYTES (or unknown) → two-phase
+      salted pre-cap (ops/skew.capped_first_rows): a mega-bucket is
+      possible and must never single-task-sort;
+    - below it → the plain window: the banded table is strictly smaller
+      than the corpus, so even the worst case (every row in one bucket)
+      sorts < 64 MB on one task, and the salted pre-pass would only add
+      an exchange + sort of the same rows.
+    """
     from .skew import capped_first_rows
 
-    return capped_first_rows(df, key, "doc_id", max_bucket)
+    if src_bytes is None or src_bytes > CAP_SINGLE_WINDOW_MAX_BYTES:
+        return capped_first_rows(df, key, "doc_id", max_bucket)
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
 
 
 def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
@@ -74,7 +109,10 @@ def shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
         f"transform(sequence(1, greatest(length(coalesce(text, '')) - {width - 1}, 1)),"
         f" i -> substring(coalesce(text, ''), i, {width}))"
     )
-    return docs.select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+    # spread BEFORE the explode: the per-shingle hashing downstream is the
+    # dominant per-row cost, and partitioning by doc_id lets the signature
+    # groupBy("doc_id") reuse this exchange instead of adding its own
+    return spread(docs).select("doc_id", F.explode(F.expr(expr)).alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, k: int = K_HASHES, width: int = SHINGLE) -> DataFrame:
@@ -111,7 +149,7 @@ def minhash_near_dup_pairs(
     output is bounded even on a corpus that is one giant duplicate
     cluster. Self-join on sig (shuffle on the short band key), a < b."""
     sig = minhash_signatures(canonical_docs(docs), k, width)
-    capped = _cap_bucket(sig, "sig", max_bucket)
+    capped = _cap_bucket(sig, "sig", max_bucket, src_bytes=est_bytes(docs))
     a = capped.select(F.col("doc_id").alias("a"), "sig")
     b = capped.select(F.col("doc_id").alias("b"), "sig")
     return a.join(b, "sig").filter(F.col("a") < F.col("b")).select("a", "b", "sig")
@@ -162,6 +200,7 @@ def minhash_banded_pairs(
     small scale the extra passes dominated the query; at cluster scale
     fewer, larger shuffles beat many small ones)."""
     k = bands * rows_per_band
+    src_bytes = est_bytes(docs)
     sig = minhash_wide_signatures(canonical_docs(docs), k, width).localCheckpoint(
         eager=False
     )
@@ -172,7 +211,7 @@ def minhash_banded_pairs(
             F.lit(bnd).alias("band"), F.concat(*cols).alias("bsig"), "doc_id"
         )
         banded = part if banded is None else banded.unionByName(part)
-    capped = _cap_bucket(banded, ["band", "bsig"], max_bucket)
+    capped = _cap_bucket(banded, ["band", "bsig"], max_bucket, src_bytes=src_bytes)
     a = capped.select("band", "bsig", F.col("doc_id").alias("a"))
     b = capped.select("band", "bsig", F.col("doc_id").alias("b"))
     pairs = a.join(b, ["band", "bsig"]).filter(F.col("a") < F.col("b"))
@@ -252,7 +291,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     64-bit fingerprint doesn't birthday-collide until ~2³² docs (16 bits
     collided at ~300). One shuffle: the groupBy is map-side combinable
     (64 partial sums per doc)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok")
     )
     md5 = F.md5(F.col("tok"))
@@ -283,6 +322,7 @@ def simhash_near_dup_pairs(
     bit_count(xor) filter removes band-collision false positives.
     Returns (a, b, hamming)."""
     assert 1 <= max_hamming <= 3, "4 fixed 16-bit bands cover hamming <= 3"
+    src_bytes = est_bytes(docs)
     sim = simhash64(canonical_docs(docs)).localCheckpoint(eager=False)
     band_exprs = [
         F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(65535)),
@@ -299,7 +339,7 @@ def simhash_near_dup_pairs(
             F.lit(bnd).alias("band"), bv.alias("bv"), "doc_id", "sim_hi", "sim_lo"
         )
         banded = part if banded is None else banded.unionByName(part)
-    capped = _cap_bucket(banded, ["band", "bv"], max_bucket)
+    capped = _cap_bucket(banded, ["band", "bv"], max_bucket, src_bytes=src_bytes)
     a = capped.select(
         "band", "bv",
         F.col("doc_id").alias("a"),

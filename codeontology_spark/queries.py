@@ -236,6 +236,10 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         if new.isEmpty():
             break
+        # the union IS re-checkpointed: visited feeds three scans next
+        # round (self-join both sides + anti-join), and measured r6, the
+        # "save one job by skipping this" variant was 28% SLOWER — three
+        # union-tree re-plans per round cost more than one materialization
         visited = visited.unionByName(new).localCheckpoint(eager=True)
     return visited
 
@@ -372,21 +376,22 @@ def _min_label_reach(verts: DataFrame, edges: DataFrame, max_iters: int = 20) ->
         parent = relaxed.select(
             "repo", F.col("uri").alias("label"), F.col("label").alias("grand")
         )
-        jumped = (
+        # the changed-vs-previous compare joins INSIDE the checkpointed
+        # plan (one materialization job per round instead of checkpoint +
+        # a separate compare-join action; same shuffle count — the compare
+        # join ran every round anyway)
+        stepped = (
             relaxed.join(parent, ["repo", "label"], "left")
             .select(
                 "repo", "uri",
                 F.least(F.col("label"), F.coalesce("grand", "label")).alias("label"),
             )
+            .join(labels.select("repo", "uri", F.col("label").alias("_prev")), ["repo", "uri"])
+            .withColumn("_chg", F.col("label") != F.col("_prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, ["repo", "uri"])
-            .filter(F.col("new_label") != F.col("label"))
-        )
-        labels = jumped
-        if changed.isEmpty():
+        labels = stepped.select("repo", "uri", "label")
+        if stepped.filter(F.col("_chg")).isEmpty():
             break
     return labels
 
@@ -430,22 +435,31 @@ def strongly_connected_components(
     assigned = None
 
     def _acc(a: DataFrame | None, b: DataFrame) -> DataFrame:
-        return b if a is None else a.unionByName(b).localCheckpoint(eager=True)
+        # plain union tree: every piece is (a cheap filter over) a
+        # checkpointed frame, so re-checkpointing each accumulation only
+        # added one full-materialization job per round
+        return b if a is None else a.unionByName(b)
 
     for _ in range(max_outer):
         if verts.isEmpty():
             break
-        # 1) trim: peel no-in/no-out nodes until fixpoint
+        # 1) trim: peel no-in/no-out nodes until fixpoint. Core/peeled are
+        # filters over ONE checkpointed outer-joined marking (the two
+        # semi-join + anti-join form materialized core and re-derived
+        # peeled with a separate join action every round).
         for _ in range(max_iters):
-            has_out = e.select("repo", F.col("src").alias("uri")).distinct()
-            has_in = e.select("repo", F.col("dst").alias("uri")).distinct()
-            core = (
-                verts.join(has_out, ["repo", "uri"], "left_semi")
-                .join(has_in, ["repo", "uri"], "left_semi")
+            has_out = e.select("repo", F.col("src").alias("uri")).distinct().withColumn("_o", F.lit(1))
+            has_in = e.select("repo", F.col("dst").alias("uri")).distinct().withColumn("_i", F.lit(1))
+            marked = (
+                verts.join(has_out, ["repo", "uri"], "left")
+                .join(has_in, ["repo", "uri"], "left")
+                .withColumn("_core", F.col("_o").isNotNull() & F.col("_i").isNotNull())
                 .localCheckpoint(eager=True)
             )
-            peeled = verts.join(core, ["repo", "uri"], "left_anti")
+            core = marked.filter(F.col("_core")).select("repo", "uri")
+            peeled = marked.filter(~F.col("_core")).select("repo", "uri")
             if peeled.isEmpty():
+                verts = core
                 break
             assigned = _acc(assigned, peeled.withColumn("scc", F.col("uri")))
             verts = core
@@ -456,16 +470,34 @@ def strongly_connected_components(
             )
         if verts.isEmpty():
             break
-        # 2) forward/backward coloring over the trimmed core
-        fwd = _min_label_reach(verts, e, max_iters)
+        # 2) forward/backward coloring over the trimmed core — two
+        # INDEPENDENT label propagations, run as concurrent jobs from two
+        # driver threads (guide §2.6: actions are only sequential because
+        # the driver calls them sequentially; the backward pass's tasks
+        # back-fill executors the forward pass's tail leaves idle)
         rev = e.select("repo", F.col("dst").alias("src"), F.col("src").alias("dst"))
-        bwd = _min_label_reach(verts, rev, max_iters).withColumnRenamed("label", "blabel")
-        both = fwd.join(bwd, ["repo", "uri"])
-        hit = both.filter(F.col("label") == F.col("blabel")).select(
-            "repo", "uri", F.col("label").alias("scc")
-        ).localCheckpoint(eager=True)
-        assigned = _acc(assigned, hit)
-        verts = verts.join(hit, ["repo", "uri"], "left_anti").localCheckpoint(eager=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fut = pool.submit(_min_label_reach, verts, e, max_iters)
+            b_fut = pool.submit(_min_label_reach, verts, rev, max_iters)
+            fwd = f_fut.result()
+            bwd = b_fut.result().withColumnRenamed("label", "blabel")
+        # fwd and bwd both cover every active vertex, so the set still
+        # unresolved is the != side of the SAME join — no separate
+        # anti-join + checkpoint pass
+        both = (
+            fwd.join(bwd, ["repo", "uri"])
+            .withColumn("_hit", F.col("label") == F.col("blabel"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = _acc(
+            assigned,
+            both.filter(F.col("_hit")).select("repo", "uri", F.col("label").alias("scc")),
+        )
+        verts = both.filter(~F.col("_hit")).select("repo", "uri")
+        if verts.isEmpty():
+            break
         e = (
             e.join(verts.withColumnRenamed("uri", "src"), ["repo", "src"], "left_semi")
             .join(verts.withColumnRenamed("uri", "dst"), ["repo", "dst"], "left_semi")
@@ -611,21 +643,22 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         parent = stepped.select(
             "repo", F.col("uri").alias("component"), F.col("component").alias("grand")
         )
+        # changed-vs-previous compare fused into the checkpointed plan —
+        # one materialization job per round instead of checkpoint + a
+        # separate compare-join action (same shuffles; the compare join
+        # ran every round anyway)
         jumped = (
             stepped.join(parent, ["repo", "component"], "left")
             .select(
                 "repo", "uri",
                 F.least(F.col("component"), F.coalesce("grand", "component")).alias("component"),
             )
+            .join(labels.select("repo", "uri", F.col("component").alias("_prev")), ["repo", "uri"])
+            .withColumn("_chg", F.col("component") != F.col("_prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("component", "new_component")
-            .join(labels, ["repo", "uri"])
-            .filter(F.col("new_component") != F.col("component"))
-        )
-        labels = jumped
-        if changed.isEmpty():
+        labels = jumped.select("repo", "uri", "component")
+        if jumped.filter(F.col("_chg")).isEmpty():
             break
     return labels
 
