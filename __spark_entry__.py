@@ -67,8 +67,19 @@ def _ship_pkg(spark: SparkSession) -> None:
     _SHIPPED = True
 
 
+_READ_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reference, memoized per (session, path). spark.read.parquet
+    re-lists the directory and re-reads footers to infer the schema on
+    EVERY call (~100 ms each, measured) — a catalog would do that once.
+    Only the unexecuted plan object is cached: each query execution still
+    scans the parquet files, so no result or data caching is involved."""
+    key = (id(spark), sf_dir, name)
+    if key not in _READ_CACHE:
+        _READ_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _READ_CACHE[key]
 
 
 _KG_CACHE: dict[int, DataFrame] = {}

@@ -147,36 +147,95 @@ def extract_entities(
     apply_filters: bool = True,
     repartition: int | None = None,
     mode: str = "treesitter",
+    dedup_content: bool = True,
 ) -> DataFrame:
     """Source table → entity rows.
 
-    Map-only: Arrow batches stream through ``mapInPandas``; 1→N expansion
-    happens inside the UDF so no separate explode of a giant array column
-    is materialized. For skewed repos, pre-repartition by a salted key so
-    one mega-repo cannot pin a single task (SURVEY.md §4.3).
+    Map-only parse: Arrow batches stream through ``mapInPandas``; 1→N
+    expansion happens inside the UDF so no separate explode of a giant
+    array column is materialized. For skewed repos, pre-repartition by a
+    salted key so one mega-repo cannot pin a single task (SURVEY.md §4.3).
+
+    ``dedup_content`` (default) parses each DISTINCT (path, content-sha)
+    exactly once and joins the entity rows back to every (repo, commit)
+    that contains that file. Entity rows are a pure function of (path,
+    content) — URIs mint from path+line, body hashes from content; only
+    the repo/commit columns differ — so the output is identical, but the
+    expensive Python parse runs once per distinct file. Real code corpora
+    are dominated by byte-identical duplicates (forks, vendored
+    node_modules, lockstep boilerplate), the same observation the A3
+    change-detection anti-join already exploits with the same content-sha
+    identity. This is the guide-§8 shape: do the heavy per-item work on
+    the deduplicated small set, then re-attach by key — the parse-side
+    dedup shuffle moves each distinct file's bytes once (map-side partial
+    dedup collapses within-partition copies first), orders of magnitude
+    cheaper than re-parsing them.
     """
     df = source_filter(source_df) if apply_filters else source_df
-    if repartition:
-        # salt on (repo, path): files of one repo spread across all tasks
-        df = df.repartition(repartition, F.col("repo"), F.col("path"))
 
     field_names = ENTITY_SCHEMA.fieldNames()
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    if not dedup_content:
+        if repartition:
+            # salt on (repo, path): files of one repo spread across tasks
+            df = df.repartition(repartition, F.col("repo"), F.col("path"))
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            extractor = _get_extractor(mode)
+            for pdf in batches:
+                cols: dict[str, list] = {f: [] for f in field_names}
+                for repo, path, commit, content in zip(
+                    pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
+                ):
+                    try:
+                        _entity_columns(cols, repo, path, commit, content or "",
+                                        extractor=extractor)
+                    except Exception:
+                        # mirror the reference's per-file failure tolerance
+                        # (processor.py:342-354): a broken file yields nothing
+                        continue
+                if cols["uri"]:
+                    yield pd.DataFrame(cols, columns=field_names)
+
+        return df.mapInPandas(gen, schema=ENTITY_SCHEMA)
+
+    from pyspark.sql.types import StructType
+
+    parsed_schema = StructType(
+        [f for f in ENTITY_SCHEMA.fields if f.name not in ("repo", "commit")]
+    ).add("_csha", "string")
+    parsed_names = parsed_schema.fieldNames()
+
+    keyed = df.withColumn(
+        "_csha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+    distinct = keyed.select("path", "content", "_csha").dropDuplicates(
+        ["path", "_csha"]
+    )
+    if repartition:
+        distinct = distinct.repartition(repartition, F.col("path"), F.col("_csha"))
+
+    def gen_distinct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractor = _get_extractor(mode)
         for pdf in batches:
             cols: dict[str, list] = {f: [] for f in field_names}
-            for repo, path, commit, content in zip(
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
+            shas: list[str] = []
+            for path, content, csha in zip(
+                pdf["path"], pdf["content"], pdf["_csha"]
             ):
+                before = len(cols["uri"])
                 try:
-                    _entity_columns(cols, repo, path, commit, content or "",
+                    _entity_columns(cols, "", path, "", content or "",
                                     extractor=extractor)
                 except Exception:
-                    # mirror the reference's per-file failure tolerance
-                    # (processor.py:342-354): a broken file yields nothing
+                    # per-file failure tolerance (processor.py:342-354)
                     continue
+                shas.extend([csha] * (len(cols["uri"]) - before))
             if cols["uri"]:
-                yield pd.DataFrame(cols, columns=field_names)
+                del cols["repo"], cols["commit"]
+                cols["_csha"] = shas
+                yield pd.DataFrame(cols, columns=parsed_names)
 
-    return df.mapInPandas(gen, schema=ENTITY_SCHEMA)
+    parsed = distinct.mapInPandas(gen_distinct, schema=parsed_schema)
+    mapping = keyed.select("repo", "commit", "path", "_csha")
+    return mapping.join(parsed, ["path", "_csha"]).select(*field_names)
