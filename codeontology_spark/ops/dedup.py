@@ -262,10 +262,13 @@ def ngram_jaccard_pairs(
 
 
 def _bit_votes(h, n_bits: int, prefix: str):
-    """Per-bit ±1 majority-vote aggregates over a token-hash column."""
+    """Per-bit ±1 majority-vote aggregates over a token-hash column.
+    Branch-free: vote = 2*bit - 1 gives exactly +1 for a set bit and -1
+    for a clear one, so the integer sums are identical to the CASE form
+    the SQL oracle mirrors, minus 64 codegen branches per row."""
     return [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
         ).alias(f"{prefix}{i}")
         for i in range(n_bits)
     ]

@@ -226,9 +226,21 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         hop = visited.select("repo", F.col("src").alias("dst"), F.col("dst").alias("nxt"))
+        # two compositions per round: R² then R³ = R²∘R, so reachable path
+        # length TRIPLES each round (⌈log3 d⌉ rounds) — the extra join is
+        # far cheaper than another full round's checkpoint + action
+        # overhead, and the fixpoint (the closure) is unchanged
         step = (
             visited.join(hop, ["repo", "dst"])
             .select("repo", "src", F.col("nxt").alias("dst"))
+            .dropDuplicates(["repo", "src", "dst"])
+        )
+        step = (
+            step.unionByName(
+                step.join(hop, ["repo", "dst"]).select(
+                    "repo", "src", F.col("nxt").alias("dst")
+                )
+            )
             .dropDuplicates(["repo", "src", "dst"])
         )
         new = step.join(visited, ["repo", "src", "dst"], "left_anti").localCheckpoint(
