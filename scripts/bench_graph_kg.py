@@ -62,7 +62,17 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def job_count() -> int:
-        return sc._jsc.sc().statusTracker().getJobIdsForGroup(None).length
+        # PySpark's StatusTracker returns plain lists; job ids for ALL
+        # groups via the UI REST API would be overkill — the default group
+        # covers everything this script runs
+        import urllib.request
+
+        base = sc.uiWebUrl
+        app_id = sc.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/jobs?status=succeeded"
+        ) as r:
+            return len(json.load(r))
 
     out = {"n_repos": n_repos, "n_triples": n_triples,
            "build_s": round(build_s, 1), "cores": cores, "ops": {}}
