@@ -191,3 +191,67 @@ def test_docstring_and_comment_triples(spark):
     texts = t.filter((F.col("subj") == bnodes[0]) & (F.col("pred") == "code:commentText"))
     assert [r.obj for r in texts.collect()] == ["note line"]
     res.entities.unpersist()
+
+
+def test_content_dedup_same_path_different_content(spark, tmp_path):
+    """r6 extract optimization: parse-once-per-distinct-(path, content-sha)
+    with join-back. The join key must include the content sha — two repos
+    carrying the SAME relative path with DIFFERENT content must get their
+    own entity rows (and commits), not cross-attached ones; two repos with
+    identical (path, content) must both get rows from the single parse.
+    The dedup path must be byte-identical to the parse-every-row path."""
+    from codeontology_spark.schemas import INPUT_SCHEMA
+
+    rows = [
+        ("repo/a", "lib/x.js", "ca", "javascript", "function fa() { return 1; }"),
+        ("repo/b", "lib/x.js", "cb", "javascript", "function fb() { return 2; }"),
+        ("repo/c", "lib/x.js", "cc", "javascript", "function fa() { return 1; }"),
+    ]
+    # parquet round-trip: createDataFrame→UDF would chain 2 Python workers
+    p = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=INPUT_SCHEMA).write.parquet(p)
+    src = spark.read.parquet(p)
+
+    dedup = build_graph(src, persist=False, dedup_content=True).entities
+    plain = build_graph(src, persist=False, dedup_content=False).entities
+    key = ["repo", "path", "commit", "kind", "name", "uri"]
+    d = sorted(map(tuple, dedup.select(*key).collect()))
+    q = sorted(map(tuple, plain.select(*key).collect()))
+    assert d == q
+    funcs = {(r.repo, r.name, r.commit) for r in dedup.filter(F.col("kind") == "function").collect()}
+    assert funcs == {("repo/a", "fa", "ca"), ("repo/b", "fb", "cb"), ("repo/c", "fa", "cc")}
+
+
+def test_spread_scale_adaptive(spark, tmp_path):
+    """ops.layout.spread: repartitions only sources the optimizer estimates
+    as underparallel; unknown-estimate frames (local relations report the
+    defaultSizeInBytes sentinel) are left alone — at production scale the
+    helper must be a no-op, never an extra shuffle."""
+    from codeontology_spark.ops.layout import spread
+
+    small = str(tmp_path / "small")
+    spark.range(100).selectExpr("id AS doc_id", "'x' AS text").write.parquet(small)
+    scan = spark.read.parquet(small)
+    plan = spread(scan)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan and "doc_id" in plan
+    # rows unchanged, no duplicates
+    assert sorted(r.doc_id for r in spread(scan).collect()) == list(range(100))
+
+    sentinel = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert spread(sentinel) is sentinel  # unknown size → untouched
+
+
+def test_cap_bucket_forms_identical(spark):
+    """dedup._cap_bucket: the adaptive single-window form (small source)
+    and the two-phase salted form (large/unknown source) must produce
+    byte-identical row sets — the SQL oracles pin the QUALIFY semantics."""
+    from codeontology_spark.ops.dedup import _cap_bucket
+
+    rows = [(i, f"b{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, sig string")
+    small = _cap_bucket(df, "sig", 7, src_bytes=1024)
+    large = _cap_bucket(df, "sig", 7, src_bytes=1 << 40)
+    unknown = _cap_bucket(df, "sig", 7, src_bytes=None)
+    s = sorted(map(tuple, small.collect()))
+    assert s == sorted(map(tuple, large.collect())) == sorted(map(tuple, unknown.collect()))
+    assert len(s) == 21  # 3 buckets x cap 7
